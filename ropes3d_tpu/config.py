@@ -1,0 +1,148 @@
+"""Configuration: path registry and framework constants.
+
+TPU-native re-implementation of the reference's config layer
+(``robotpose/paths.py:18-41`` and ``robotpose/constants.py:11-92``).
+Keeps the same knob names and ``data/paths.json`` schema for parity, but
+replaces the ``exec``-based attribute loading with an explicit registry and
+replaces the GPU-VRAM heuristics with HBM-aware budgets (see
+``simulation/lookup.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+MAX_LINKS = 7
+
+# Shared-file IPC for live robot coupling (reference: constants.py:16).
+# Overridable because the reference hardcodes a Windows UNC path.
+JSON_LINK_FILE = os.environ.get("ROPES3D_JOINT_STATES", "joint_states.json")
+
+# ---------------------------------------------------------------- Crops
+CROP_RENDER_WEIGHTING = [6, 3, 3, 0, 1, 0]  # per-joint render weighting
+CROP_VARYING = "SLUB"  # joints varied when accumulating reachable silhouette
+CROP_MAX_PER_JOINT = 50
+CROP_SEC_ALLOTTED_APPROX = 20
+CROP_PADDING = 10
+
+# ---------------------------------------------------------------- Lookups
+# Fraction of device memory the resident depth-lookup stack may occupy.
+# Reference budgets 10% of nvidia-smi VRAM (constants.py:28); here the
+# budget is against TPU HBM (or host RAM on CPU backends).
+HBM_MEMORY_ALLOWED_FOR_LOOKUP = 0.1
+LOOKUP_NAME_LENGTH = 5
+LOOKUP_MAX_DIV_PER_LINK = 200
+LOOKUP_JOINTS = "SLU"
+LOOKUP_NUM_RENDERED = 6
+
+# ---------------------------------------------------------------- Seg models
+MODELDATA_FILE_NAME = "ModelData.json"
+NUM_MODELS_TO_KEEP = 3
+MODEL_NAME_LENGTH = 4
+
+# ---------------------------------------------------------------- Wizard
+WIZARD_DATASET_PREVIEW = True
+
+# ---------------------------------------------------------------- Verifier
+VERIFIER_ALPHA = 0.7
+VERIFIER_SELECTED_GAMMA = -50
+VERIFIER_SCALER = 1.5
+VERIFIER_ROWS = 4
+VERIFIER_COLUMNS = 4
+
+# ---------------------------------------------------------------- Datasets
+VIDEO_FPS = 15
+THUMBNAIL_DS_FACTOR = 6
+DEFAULT_CAMERA_POSE = [0, -1.5, 0.75, 0, 0, 0]
+
+
+# ---------------------------------------------------------------- Rendering
+def default_render_color_maker(num: int) -> List[List[int]]:
+    """Generate ``num`` RGB triplets with unique blue values.
+
+    Parity with reference ``constants.py:65-90``: blue channel is a unique
+    linspace over [0, 255] so link identity can be recovered from the blue
+    value alone.  The TPU renderer natively produces an integer link-id map,
+    and colors are only used when materialising RGB previews.
+    """
+    b = np.linspace(0, 255, num).astype(int)
+    r = np.abs(255 - 2 * b)
+    return [[int(b[i]), 0, int(r[i])] for i in range(num)]
+
+
+DEFAULT_RENDER_COLORS = default_render_color_maker(7)
+
+
+# ---------------------------------------------------------------- Paths
+_DEFAULT_PATHS = {
+    "DATASETS": "data/",
+    "DATASET_INFO_JSON": "data/datasets.json",
+    "RAW_DATA": "data/raw/",
+    "ROBOT_LOOKUPS": "lookup/",
+    "ROBOT_LOOKUP_INFO": "lookup/lookups.json",
+    "MODELS": "models/",
+    "MODEL_INFO_JSON": "models/models.json",
+    "OUTPUT": "output/",
+    "BASE_MODEL": "models/base_model",
+    "VIDEO": "output/video.avi",
+    "URDFS": "urdfs/",
+    "URDF": "urdfs/motoman_mh5_support_limited/urdf/mh5l_limited.urdf",
+    "SPLIT_CONFIG": "data/split_config.json",
+    "CROP_DATA": "lookup/crop_data.h5",
+}
+
+_DIR_KEYS = ("DATASETS", "RAW_DATA", "ROBOT_LOOKUPS", "MODELS", "OUTPUT", "URDFS")
+
+
+class Paths:
+    """Path registry backed by ``data/paths.json``.
+
+    Same key set as the reference registry (``robotpose/paths.py``), rooted at
+    ``ROPES3D_ROOT`` (default: current working directory).  Entries resolve to
+    absolute paths via attribute access; ``set`` persists changes back to the
+    JSON file.
+    """
+
+    def __init__(self, root: str | None = None):
+        self.root = os.path.abspath(root or os.environ.get("ROPES3D_ROOT", os.getcwd()))
+        self._json_path = os.path.join(self.root, "data", "paths.json")
+        self._entries: Dict[str, str] = dict(_DEFAULT_PATHS)
+        self._load()
+
+    def _load(self) -> None:
+        if os.path.isfile(self._json_path):
+            with open(self._json_path) as f:
+                self._entries.update(json.load(f))
+
+    def _write(self) -> None:
+        os.makedirs(os.path.dirname(self._json_path), exist_ok=True)
+        with open(self._json_path, "w") as f:
+            json.dump(self._entries, f, indent=4)
+
+    def __getattr__(self, key: str) -> str:
+        entries = object.__getattribute__(self, "_entries")
+        if key in entries:
+            return os.path.join(object.__getattribute__(self, "root"), entries[key])
+        raise AttributeError(key)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._entries
+
+    def keys(self):
+        return self._entries.keys()
+
+    def set(self, key: str, value: str) -> None:
+        """Persist a (relative) path entry; mirrors reference Paths.set."""
+        if os.path.isabs(value):
+            value = os.path.relpath(value, self.root)
+        self._entries[key] = value
+        self._write()
+
+    def create(self) -> None:
+        """Create all registered directories (reference Paths.create)."""
+        for key in _DIR_KEYS:
+            os.makedirs(getattr(self, key), exist_ok=True)

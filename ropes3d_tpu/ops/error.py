@@ -1,0 +1,117 @@
+"""On-device error ("loss") functions for the render-and-match search.
+
+Exact ports of the reference's three error formulas (SURVEY.md §2.6a),
+reformulated as pure jnp so they fuse with the rasterizer under jit and
+vmap over the candidate axis:
+
+1. Per-link matched + unmatched error — ``Predictor._error``
+   (reference robotpose/prediction/predict.py:475-509).  The reference
+   matched render pixels to links via blue-channel equality
+   (predict.py:486-488); here the rasterizer emits an integer link-id map so
+   matching is ``link_id == index``.
+2. Lookup tensor error — ``mean(|diff|) * std(|diff|)`` per candidate on
+   sqrt-domain depth (predict.py:167-171).
+3. TensorSweep error — ``mean(|diff|) * -std(|diff|)`` variant
+   (predict.py:363-369).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NUM_SEG_LINKS = 6  # base_link .. link_5_b (tool link excluded from seg)
+
+
+class TargetBundle(NamedTuple):
+    """Preprocessed per-frame targets (device-resident).
+
+    masks : [6, H, W] bool — per-link segmentation masks (index 0 =
+        base_link), zero where link undetected
+    masked_depth : [6, H, W] float32 — per-link masked observed depth
+    present : [6] bool — link was detected by the segmenter
+    depth : [H, W] float32 — robot-body-masked observed depth
+    """
+
+    masks: jnp.ndarray
+    masked_depth: jnp.ndarray
+    present: jnp.ndarray
+    depth: jnp.ndarray
+
+
+def _safe_mean_nonzero(x: jnp.ndarray) -> jnp.ndarray:
+    """mean(x[x != 0]) with 0 fallback for an all-zero array."""
+    nz = x != 0
+    cnt = jnp.sum(nz)
+    return jnp.where(cnt > 0, jnp.sum(jnp.where(nz, x, 0.0)) / jnp.maximum(cnt, 1), 0.0)
+
+
+def link_error(
+    target: TargetBundle,
+    render_depth: jnp.ndarray,  # [H, W]
+    render_link_id: jnp.ndarray,  # [H, W] int32, -1 background
+    link_active: jnp.ndarray,  # [6] bool — links scored (reference
+    #   link_names[1:num_joints]; index 0/base never scored)
+) -> jnp.ndarray:
+    """Scalar visual+depth error of one render vs the target frame.
+
+    Formula parity with Predictor._error (predict.py:475-509):
+      per active+present link:  mean(seg_mask != render_mask) * 5
+        + (if >=5% of mask pixels have depth) mean_nonzero(|d_tgt - d_rnd|) * 10
+      global:  mean_nonzero(|depth diff|) * std(|depth diff|)
+    """
+    render_depth = render_depth.astype(jnp.float32)
+
+    def per_link(li):
+        score = link_active[li] & target.present[li]
+        joint_mask = target.masks[li]
+        render_mask = render_link_id == li
+        mask_err = jnp.mean(joint_mask != render_mask) * 5.0
+
+        target_masked = target.masked_depth[li]
+        render_masked = render_depth * render_mask
+        enough_depth = jnp.sum(target_masked != 0) > 0.05 * jnp.sum(joint_mask)
+        adiff = jnp.abs(target_masked - render_masked)
+        depth_err = jnp.where(enough_depth, _safe_mean_nonzero(adiff) * 10.0, 0.0)
+        return jnp.where(score, mask_err + depth_err, 0.0)
+
+    link_errs = jax.vmap(per_link)(jnp.arange(1, NUM_SEG_LINKS))
+    err = jnp.sum(link_errs)
+
+    diff = jnp.abs(target.depth - render_depth)
+    err += _safe_mean_nonzero(diff) * jnp.std(diff)
+    return err
+
+
+@functools.partial(jax.jit, static_argnames=())
+def link_error_batch(
+    target: TargetBundle,
+    render_depth: jnp.ndarray,  # [B, H, W]
+    render_link_id: jnp.ndarray,  # [B, H, W]
+    link_active: jnp.ndarray,  # [6]
+) -> jnp.ndarray:
+    """Vmapped link_error over a candidate batch: -> err [B]."""
+    return jax.vmap(lambda d, l: link_error(target, d, l, link_active))(
+        render_depth, render_link_id
+    )
+
+
+def lookup_error(tgt_sqrt: jnp.ndarray, lookup_sqrt: jnp.ndarray) -> jnp.ndarray:
+    """Lookup-stage candidate error: err[N] = mean(|diff|) * std(|diff|).
+
+    Both inputs are sqrt-domain depth (reference predict.py:117,167-171);
+    ``tgt_sqrt`` is the cropped target [H, W], ``lookup_sqrt`` the
+    pre-rendered stack [N, H, W] — broadcasting replaces the reference's
+    explicit ``tf.stack([target]*N)`` upload (predict.py:406).
+    """
+    diff = jnp.abs(tgt_sqrt[None] - lookup_sqrt)
+    return jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+
+
+def tensor_sweep_error(tgt_sqrt: jnp.ndarray, sweep_sqrt: jnp.ndarray) -> jnp.ndarray:
+    """TensorSweep error: mean(|diff|) * -std(|diff|) (predict.py:363-369)."""
+    diff = jnp.abs(tgt_sqrt[None] - sweep_sqrt)
+    return jnp.mean(diff, axis=(1, 2)) * -jnp.std(diff, axis=(1, 2))

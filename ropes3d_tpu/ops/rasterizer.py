@@ -1,0 +1,289 @@
+"""Batched depth + link-id rasterizer as XLA matmuls.
+
+This replaces the reference's per-pose OpenGL renders
+(``robotpose/simulation/render.py:92-98`` — one Python->OpenGL round trip per
+candidate, the anti-pattern SURVEY.md §7 calls out).  The TPU formulation
+exploits that both triangle edge functions and perspective-correct inverse
+depth are *linear in pixel coordinates*:
+
+    E_k(px, py)   = a_k * px + b_k * py + c_k          (3 edges)
+    1/z  (px, py) = qa * px + qb * py + qc             (inverse-depth plane)
+
+so rasterizing T triangles over P pixels is one ``[T, 4*3] x [3, P]`` matmul
+(MXU work) followed by a masked max-reduction of 1/z over the triangle axis
+(VPU work).  The whole pipeline — FK -> vertex transform -> triangle setup ->
+raster -> error — is jitted and vmapped over a candidate batch, making every
+prediction stage a batched evaluator call.
+
+Pixel convention matches OpenGL/pyrender sampling: coverage is evaluated at
+pixel centers ``(col + .5, row + .5)`` with ``u = fx*X/(-Z) + cx`` and
+``v = cy + fy*Y/Z`` (camera looks along -Z, +Y up; row 0 is the top of the
+image).  Depth output is camera-space Z distance, 0 for background — the
+same readback pyrender produces.
+
+Two backends:
+- this module: pure-XLA (lax.scan over triangle chunks); runs everywhere.
+- ``rasterizer_pallas.py``: fused Pallas TPU kernel keeping the triangle x
+  pixel intermediates in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RasterScene(NamedTuple):
+    """Static triangle soup (see robot/mesh.py PackedScene.flat)."""
+
+    verts: jnp.ndarray  # [N, 3, 3] float32 — model-space triangle vertices
+    link_ids: jnp.ndarray  # [N] int32 — owning link per triangle
+    valid: jnp.ndarray  # [N] bool — real vs padding slots
+
+    @property
+    def num_tris(self) -> int:
+        return self.verts.shape[0]
+
+
+def scene_from_packed(packed, max_links: Optional[int] = None) -> RasterScene:
+    v, ids, valid = packed.flat(max_links)
+    return RasterScene(jnp.asarray(v), jnp.asarray(ids), jnp.asarray(valid))
+
+
+def transform_vertices(
+    scene_verts: jnp.ndarray,  # [N, 3, 3]
+    link_ids: jnp.ndarray,  # [N]
+    link_poses: jnp.ndarray,  # [L, 4, 4] model->world per link
+    world_to_cam: jnp.ndarray,  # [4, 4]
+) -> jnp.ndarray:
+    """Transform model-space triangle vertices into camera space: [N, 3, 3]."""
+    mv = world_to_cam @ link_poses  # [L, 4, 4] model->camera
+    M = mv[link_ids]  # [N, 4, 4]
+    R = M[:, :3, :3]  # [N, 3, 3]
+    t = M[:, :3, 3]  # [N, 3]
+    # verts [N, 3(vtx), 3(coord)]: cam = verts @ R^T + t
+    return jnp.einsum("nvc,nrc->nvr", scene_verts, R) + t[:, None, :]
+
+
+def triangle_setup(
+    cam_verts: jnp.ndarray,  # [N, 3, 3] camera-space vertices
+    valid: jnp.ndarray,  # [N] bool
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    near: float = 0.01,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-triangle linear coefficients for rasterization.
+
+    Returns
+    -------
+    coeffs : [N, 4, 3] float32 — rows are (e0, e1, e2, q) planes, each as
+        (a, b, c) with plane(p) = a*px + b*py + c.  Edge planes are
+        sign-normalised so coverage is simply ``all(E >= 0)``.
+    tri_ok : [N] bool — triangle contributes (valid, in front of camera,
+        non-degenerate).
+    """
+    X = cam_verts[..., 0]
+    Y = cam_verts[..., 1]
+    Z = cam_verts[..., 2]
+    z = -Z  # positive depth in front of the camera
+    in_front = jnp.all(z > near, axis=-1)
+    zsafe = jnp.maximum(z, near)
+    q = 1.0 / zsafe  # [N, 3] inverse depth per vertex
+    u = fx * X * q + cx
+    # v = cy + fy*Y/Z = cy - fy*Y/z; rows grow downward while camera +Y is up.
+    v = cy - fy * Y * q
+
+    u0, u1, u2 = u[:, 0], u[:, 1], u[:, 2]
+    v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
+
+    def edge(ua, va, ub, vb):
+        # E(p) = (ub-ua)*(py-va) - (vb-va)*(px-ua)
+        a = -(vb - va)
+        b = ub - ua
+        c = (vb - va) * ua - (ub - ua) * va
+        return a, b, c
+
+    e0 = edge(u0, v0, u1, v1)  # opposite vertex 2
+    e1 = edge(u1, v1, u2, v2)  # opposite vertex 0
+    e2 = edge(u2, v2, u0, v0)  # opposite vertex 1
+
+    # Twice signed area; also the value of each edge fn at its opposite vertex.
+    area = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)
+    degenerate = jnp.abs(area) < 1e-9
+    sgn = jnp.where(area >= 0, 1.0, -1.0)
+    inv_area = sgn / jnp.maximum(jnp.abs(area), 1e-9)
+
+    # Sign-normalise edges so inside => all E >= 0 regardless of winding.
+    E = jnp.stack(
+        [jnp.stack(e, axis=-1) for e in (e1, e2, e0)], axis=1
+    )  # [N, 3, 3]; edge k opposite vertex k
+    E = E * sgn[:, None, None]
+
+    # Perspective-correct inverse depth plane: q(p) = sum_k bary_k(p) * q_k,
+    # bary_k = E_k(p) / area  (with sign-normalised E, divide by |area|).
+    qplane = jnp.einsum("nk,nkc->nc", q, E) * jnp.abs(inv_area)[:, None]  # [N, 3]
+
+    coeffs = jnp.concatenate([E, qplane[:, None, :]], axis=1)  # [N, 4, 3]
+    tri_ok = valid & in_front & (~degenerate)
+    # Zero out coefficients of dead triangles and force coverage failure.
+    kill = (~tri_ok)[:, None, None]
+    coeffs = jnp.where(kill, jnp.array([0.0, 0.0, -1.0]), coeffs)
+    # Per-triangle inverse-depth bounds: interpolated q must lie within the
+    # vertex range; clamping at raster time suppresses sliver-triangle
+    # extrapolation error at boundary pixels.
+    qrange = jnp.stack([q.min(axis=1), q.max(axis=1)], axis=-1)  # [N, 2]
+    return coeffs, qrange, tri_ok
+
+
+def _pixel_matrix(h: int, w: int, row0, col0, dtype=jnp.float32) -> jnp.ndarray:
+    """[3, H*W] matrix of (px, py, 1) pixel-center coordinates."""
+    rows = jax.lax.broadcasted_iota(dtype, (h, w), 0) + (jnp.asarray(row0, dtype) + 0.5)
+    cols = jax.lax.broadcasted_iota(dtype, (h, w), 1) + (jnp.asarray(col0, dtype) + 0.5)
+    ones = jnp.ones((h, w), dtype)
+    return jnp.stack([cols.ravel(), rows.ravel(), ones.ravel()])
+
+
+def rasterize(
+    coeffs: jnp.ndarray,  # [N, 4, 3]
+    qrange: jnp.ndarray,  # [N, 2] per-triangle (qmin, qmax)
+    link_ids: jnp.ndarray,  # [N]
+    h: int,
+    w: int,
+    row0=0,
+    col0=0,
+    chunk: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rasterize prepared triangles: -> (depth [H, W], link_id [H, W]).
+
+    lax.scan over triangle chunks; each chunk is one [4C, 3] @ [3, P] matmul
+    plus a masked max-reduce of inverse depth carried across chunks.
+    link_id is -1 on background pixels.
+    """
+    N = coeffs.shape[0]
+    P = h * w
+    pad = (-N) % chunk
+    if pad:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.tile(jnp.array([0.0, 0.0, -1.0]), (pad, 4, 1))], axis=0
+        )
+        qrange = jnp.concatenate([qrange, jnp.zeros((pad, 2), qrange.dtype)])
+        link_ids = jnp.concatenate([link_ids, jnp.zeros((pad,), link_ids.dtype)])
+    n_chunks = coeffs.shape[0] // chunk
+
+    X = _pixel_matrix(h, w, row0, col0)  # [3, P]
+    coeffs = coeffs.reshape(n_chunks, chunk, 4, 3)
+    qrange = qrange.reshape(n_chunks, chunk, 2)
+    link_ids = link_ids.reshape(n_chunks, chunk)
+
+    def body(kmax, inp):
+        C, QR, L = inp
+        # All 4 planes of the chunk in one contraction over pixel coords.
+        E = jnp.einsum(
+            "nkc,cp->nkp", C, X, preferred_element_type=jnp.float32
+        )  # [chunk, 4, P]
+        covered = jnp.all(E[:, :3, :] >= 0.0, axis=1)  # [chunk, P]
+        q = jnp.clip(E[:, 3, :], QR[:, 0, None], QR[:, 1, None])
+        qv = jnp.where(covered & (q > 0), q, 0.0)  # [chunk, P]
+        # Pack (inverse depth, link id) into one sortable int32: the bit
+        # pattern of a positive f32 is monotonic, so zeroing the 3 LSBs of
+        # the mantissa and stuffing the link id there keeps max() selecting
+        # the nearest surface while carrying its link.  One fused max-reduce
+        # instead of argmax + gather — keeps the [chunk, P] intermediate out
+        # of HBM.
+        key = (jax.lax.bitcast_convert_type(qv, jnp.int32) & ~7) | L[:, None]
+        key = jnp.where(qv > 0, key, -1)
+        return jnp.maximum(kmax, jnp.max(key, axis=0)), None
+
+    init = jnp.full((P,), -1, jnp.int32)
+    kmax, _ = jax.lax.scan(body, init, (coeffs, qrange, link_ids.astype(jnp.int32)))
+    hit = kmax >= 0
+    qmax = jax.lax.bitcast_convert_type(kmax & ~7, jnp.float32)
+    depth = jnp.where(hit, 1.0 / jnp.maximum(qmax, 1e-12), 0.0)
+    lid = jnp.where(hit, kmax & 7, -1)
+    return depth.reshape(h, w), lid.reshape(h, w)
+
+
+# Soft cap on the materialised [group, chunk, 4, P] raster intermediate.
+_INTERMEDIATE_BUDGET_ELEMS = 64 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "chunk", "backend", "group"),
+)
+def render_batch(
+    link_poses: jnp.ndarray,  # [B, L, 4, 4] model->world link poses
+    link_mask: jnp.ndarray,  # [L] bool — which links to render (setMaxParts)
+    scene_verts: jnp.ndarray,  # [N, 3, 3]
+    scene_link_ids: jnp.ndarray,  # [N]
+    scene_valid: jnp.ndarray,  # [N]
+    world_to_cam: jnp.ndarray,  # [4, 4]
+    intrin: jnp.ndarray,  # [4] (fx, fy, cx, cy)
+    h: int,
+    w: int,
+    row0=0,
+    col0=0,
+    chunk: Optional[int] = None,
+    backend: str = "xla",
+    group: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render B candidate poses: -> (depth [B, H, W], link_id [B, H, W]).
+
+    ``link_mask`` is a runtime mask, so every ``setMaxParts`` value of the
+    reference (render.py:121-128) shares one compiled executable.
+
+    Candidates are processed in vmapped groups via lax.map so the triangle x
+    pixel intermediates stay within a fixed memory budget regardless of B
+    (large sweeps pass thousands of candidates at once).
+    """
+    fx, fy, cx, cy = intrin[0], intrin[1], intrin[2], intrin[3]
+    B = link_poses.shape[0]
+    P = h * w
+
+    if group is None:
+        group = min(B, 8)
+    if chunk is None:
+        chunk = max(64, min(512, _INTERMEDIATE_BUDGET_ELEMS // (group * 4 * P) // 64 * 64))
+
+    def one(poses):
+        cam_verts = transform_vertices(scene_verts, scene_link_ids, poses, world_to_cam)
+        valid = scene_valid & link_mask[scene_link_ids]
+        coeffs, qrange, _ = triangle_setup(cam_verts, valid, fx, fy, cx, cy)
+        if backend == "pallas":
+            from .rasterizer_pallas import rasterize_pallas
+
+            return rasterize_pallas(
+                coeffs, qrange, scene_link_ids.astype(jnp.int32), h, w, row0, col0
+            )
+        return rasterize(
+            coeffs, qrange, scene_link_ids, h, w, row0, col0, chunk=chunk
+        )
+
+    if B <= group:
+        return jax.vmap(one)(link_poses)
+
+    pad = (-B) % group
+    padded = jnp.concatenate([link_poses, link_poses[:1].repeat(pad, 0)], 0) if pad else link_poses
+    grouped = padded.reshape(-1, group, *link_poses.shape[1:])
+    depth, lid = jax.lax.map(jax.vmap(one), grouped)
+    depth = depth.reshape(-1, h, w)[:B]
+    lid = lid.reshape(-1, h, w)[:B]
+    return depth, lid
+
+
+def link_id_to_color(link_id: jnp.ndarray, palette: np.ndarray) -> jnp.ndarray:
+    """Materialise an RGB seg image from a link-id map.
+
+    The palette rows follow ``DEFAULT_RENDER_COLORS`` (unique blue channel,
+    reference constants.py:65-90); index -1 (background) maps to black.
+    """
+    pal = jnp.asarray(
+        np.concatenate([palette, np.zeros((1, 3))], 0), jnp.uint8
+    )  # [K+1, 3]; -1 wraps to the black row
+    return pal[link_id]

@@ -1,0 +1,200 @@
+"""Mesh loading: binary/ASCII STL → packed triangle arrays for the rasterizer.
+
+Replaces the reference's trimesh/pyrender mesh path
+(``robotpose/simulation/render_utils.py:19-53``).  The TPU rasterizer
+(``ropes3d_tpu/ops/rasterizer.py``) consumes a single padded triangle tensor
+per scene, so meshes are loaded, optionally decimated (vertex clustering —
+full-resolution CAD meshes are wasted effort at the 160x90 working
+resolutions of the predictor), and packed into fixed static shapes.
+
+A native C++ fast path for STL parsing/decimation lives in ``csrc/``; this
+module transparently uses it when the shared library is built, and falls
+back to the numpy implementation otherwise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .urdf import URDFReader
+from ..config import MAX_LINKS
+
+
+def load_stl(path: str) -> np.ndarray:
+    """Load an STL file into a (T, 3, 3) float32 triangle-vertex array."""
+    from ..native import stl as native_stl  # lazy; optional C++ fast path
+
+    if native_stl.available():
+        return native_stl.load_stl(path)
+    return _load_stl_numpy(path)
+
+
+def _load_stl_numpy(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.read(84)
+        if len(header) < 84:
+            return _load_stl_ascii(path)
+        n_tri = struct.unpack("<I", header[80:84])[0]
+        body = f.read()
+    expected = n_tri * 50
+    if header[:5] == b"solid" and len(body) != expected:
+        return _load_stl_ascii(path)
+    # Binary record: 12 f32 (normal + 3 verts) + u16 attribute = 50 bytes.
+    rec = np.frombuffer(body[:expected], dtype=np.uint8).reshape(n_tri, 50)
+    floats = rec[:, :48].copy().view("<f4").reshape(n_tri, 4, 3)
+    return np.ascontiguousarray(floats[:, 1:4, :], dtype=np.float32)
+
+
+def _load_stl_ascii(path: str) -> np.ndarray:
+    verts = []
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] == "vertex":
+                verts.append([float(x) for x in parts[1:4]])
+    v = np.array(verts, dtype=np.float32)
+    return v.reshape(-1, 3, 3)
+
+
+def decimate(tris: np.ndarray, target: int) -> np.ndarray:
+    """Vertex-clustering decimation to roughly ``target`` triangles.
+
+    Snaps vertices to a uniform grid and drops degenerate triangles.
+    Iteratively coarsens the grid until the triangle count is <= target.
+    Cheap, deterministic, and accurate enough for depth rendering at the
+    predictor's downscaled resolutions.
+    """
+    if tris.shape[0] <= target:
+        return tris
+    lo = tris.reshape(-1, 3).min(0)
+    hi = tris.reshape(-1, 3).max(0)
+    extent = float(np.max(hi - lo)) or 1.0
+
+    cells = 64
+    out = tris
+    for _ in range(12):
+        cell = extent / cells
+        # Snap each vertex to its cluster centroid.
+        q = np.round((tris.reshape(-1, 3) - lo) / cell).astype(np.int64)
+        key = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros((len(uniq), 3), np.float64)
+        np.add.at(sums, inv, tris.reshape(-1, 3))
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+        centroids = (sums / counts[:, None]).astype(np.float32)
+        tri_idx = inv.reshape(-1, 3)
+        # Drop triangles that collapsed (repeated cluster ids).
+        ok = (
+            (tri_idx[:, 0] != tri_idx[:, 1])
+            & (tri_idx[:, 1] != tri_idx[:, 2])
+            & (tri_idx[:, 0] != tri_idx[:, 2])
+        )
+        # Dedup triangles mapped to identical cluster triples.
+        sorted_idx = np.sort(tri_idx[ok], axis=1)
+        _, first = np.unique(sorted_idx, axis=0, return_index=True)
+        kept = tri_idx[ok][np.sort(first)]
+        out = centroids[kept]
+        if out.shape[0] <= target:
+            return out
+        cells = max(4, int(cells / 1.5))
+    return out
+
+
+@dataclass
+class PackedScene:
+    """Static-shape triangle soup for a multi-link robot.
+
+    Attributes
+    ----------
+    verts : (L, T, 3, 3) float32 — per-link triangle vertices (padded with
+        degenerate zero triangles up to the per-link max T)
+    valid : (L, T) bool — which triangle slots are real
+    link_names : list of link names, index == link id (0 = base_link)
+    """
+
+    verts: np.ndarray
+    valid: np.ndarray
+    link_names: List[str]
+
+    @property
+    def num_links(self) -> int:
+        return self.verts.shape[0]
+
+    @property
+    def tris_per_link(self) -> int:
+        return self.verts.shape[1]
+
+    def flat(self, max_links: Optional[int] = None):
+        """Flattened (L*T, 3, 3) verts, (L*T,) link ids, (L*T,) validity.
+
+        ``max_links`` truncates to the first n links — the reference's
+        ``setMaxParts`` performance lever (render.py:121-128) becomes a
+        static slice here.
+        """
+        L = self.num_links if max_links is None else min(max_links, self.num_links)
+        v = self.verts[:L].reshape(-1, 3, 3)
+        link_ids = np.repeat(np.arange(L, dtype=np.int32), self.tris_per_link)
+        valid = self.valid[:L].reshape(-1)
+        return v, link_ids, valid
+
+
+class MeshLoader:
+    """Loads the active URDF's link meshes (reference render_utils.py:19-53).
+
+    Parameters
+    ----------
+    include_t : include the final tool link (reference excludes it by default)
+    max_tris_per_link : decimation budget per link; None keeps full meshes.
+    """
+
+    _cache = {}
+
+    def __init__(
+        self,
+        include_t: bool = False,
+        max_tris_per_link: Optional[int] = 256,
+        urdf: URDFReader = None,
+    ):
+        self.u_reader = urdf or URDFReader()
+        n = MAX_LINKS if include_t else MAX_LINKS - 1
+        self.name_list = self.u_reader.mesh_names[:n]
+        self.mesh_list = self.u_reader.mesh_paths[:n]
+        self.max_tris = max_tris_per_link
+        self.load()
+
+    def load(self) -> None:
+        key = (tuple(self.mesh_list), self.max_tris)
+        if key in MeshLoader._cache:
+            self.scene = MeshLoader._cache[key]
+            return
+        per_link = []
+        for path in self.mesh_list:
+            tris = load_stl(path)
+            if self.max_tris is not None:
+                tris = decimate(tris, self.max_tris)
+            per_link.append(tris)
+        t_max = max(t.shape[0] for t in per_link)
+        # Round up so the rasterizer's flattened triangle axis tiles cleanly.
+        t_max = -(-t_max // 64) * 64
+        L = len(per_link)
+        verts = np.zeros((L, t_max, 3, 3), np.float32)
+        valid = np.zeros((L, t_max), bool)
+        for i, t in enumerate(per_link):
+            verts[i, : t.shape[0]] = t
+            valid[i, : t.shape[0]] = True
+        self.scene = PackedScene(verts, valid, list(self.name_list))
+        MeshLoader._cache[key] = self.scene
+
+    @property
+    def names(self) -> List[str]:
+        return self.name_list
+
+    @property
+    def meshes_and_names(self):
+        return self.scene, self.name_list

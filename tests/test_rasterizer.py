@@ -1,0 +1,205 @@
+"""Rasterizer golden tests.
+
+Validates the matmul-form rasterizer (ropes3d_tpu/ops/rasterizer.py) against
+analytically-computed projections and depths — the TPU stand-in for the
+reference's OpenGL SEG-mode renders (robotpose/simulation/render.py:92-98).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ropes3d_tpu.camera import camera_matrices
+from ropes3d_tpu.ops.rasterizer import (
+    rasterize,
+    render_batch,
+    transform_vertices,
+    triangle_setup,
+)
+
+
+def _raster_single(tris, link_ids, valid, w2c, fx, fy, cx, cy, h, w):
+    cam = transform_vertices(
+        jnp.asarray(tris, jnp.float32),
+        jnp.asarray(link_ids, jnp.int32),
+        jnp.eye(4)[None],
+        jnp.asarray(w2c, jnp.float32),
+    )
+    coeffs, qrange, _ = triangle_setup(cam, jnp.asarray(valid), fx, fy, cx, cy)
+    return rasterize(coeffs, qrange, jnp.asarray(link_ids, jnp.int32), h, w)
+
+
+def test_single_triangle_coverage_and_depth():
+    """A z=2 plane triangle seen head-on: exact coverage + exact depth."""
+    h, w = 64, 64
+    fx = fy = 64.0
+    cx = cy = 32.0
+    # Camera at origin looking along -Z (identity w2c); triangle at Z = -2.
+    z = -2.0
+    tris = np.array(
+        [[[-1.0, -1.0, z], [1.0, -1.0, z], [0.0, 1.0, z]]], np.float32
+    )
+    depth, lid = _raster_single(
+        tris, np.array([0]), np.array([True]), np.eye(4), fx, fy, cx, cy, h, w
+    )
+    depth = np.asarray(depth)
+    lid = np.asarray(lid)
+    # All covered pixels have depth exactly 2.
+    assert (depth > 0).sum() > 100
+    np.testing.assert_allclose(depth[depth > 0], 2.0, rtol=1e-5)
+    assert set(np.unique(lid)) == {-1, 0}
+    # Projected vertex locations: u = fx*x/2 + 32 -> x=±1 maps to u=0/64,
+    # y=-1 maps to v = 32 + 32 = 64 (bottom), y=+1 to v=0 (top).
+    # Centroid pixel must be covered:
+    assert depth[32, 32] == pytest.approx(2.0, rel=1e-5)
+    # Top corners outside the triangle are background:
+    assert depth[2, 2] == 0 and lid[2, 2] == -1
+    assert depth[2, 61] == 0
+    # Bottom-center row near v=63, u=32 is inside:
+    assert depth[60, 32] > 0
+
+
+def test_winding_invariance():
+    h, w = 32, 32
+    tri = np.array([[[-1, -1, -2], [1, -1, -2], [0, 1, -2]]], np.float32)
+    tri_rev = tri[:, ::-1, :]
+    d1, _ = _raster_single(tri, [0], [True], np.eye(4), 32, 32, 16, 16, h, w)
+    d2, _ = _raster_single(tri_rev, [0], [True], np.eye(4), 32, 32, 16, 16, h, w)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_occlusion_nearest_wins():
+    h, w = 32, 32
+    big_far = [[-2, -2, -4.0], [2, -2, -4.0], [0, 3, -4.0]]
+    small_near = [[-0.5, -0.5, -2.0], [0.5, -0.5, -2.0], [0, 0.7, -2.0]]
+    tris = np.array([big_far, small_near], np.float32)
+    depth, lid = _raster_single(
+        tris, [0, 1], [True, True], np.eye(4), 32, 32, 16, 16, h, w
+    )
+    depth = np.asarray(depth)
+    lid = np.asarray(lid)
+    assert depth[16, 16] == pytest.approx(2.0, rel=1e-5)
+    assert lid[16, 16] == 1
+    # A pixel covered only by the far triangle:
+    assert depth[20, 5] == pytest.approx(4.0, rel=1e-5)
+    assert lid[20, 5] == 0
+
+
+def test_perspective_correct_depth_interpolation():
+    """A slanted quad's rasterized depth must equal the analytic plane depth."""
+    h, w = 64, 64
+    fx = fy = 64.0
+    cx = cy = 32.0
+    # Plane z = -(2 + x): two triangles forming a quad over x,y in [-0.8, 0.8].
+    def pz(x):
+        return -(2.0 + x)
+
+    c = [
+        [-0.8, -0.8, pz(-0.8)],
+        [0.8, -0.8, pz(0.8)],
+        [0.8, 0.8, pz(0.8)],
+        [-0.8, 0.8, pz(-0.8)],
+    ]
+    tris = np.array([[c[0], c[1], c[2]], [c[0], c[2], c[3]]], np.float32)
+    depth, _ = _raster_single(
+        tris, [0, 0], [True, True], np.eye(4), fx, fy, cx, cy, h, w
+    )
+    depth = np.asarray(depth)
+    cov = depth > 0
+    assert cov.sum() > 500
+    # Invert the projection at each covered pixel to get the analytic depth:
+    # u = fx * x / z + cx  and  z = 2 + x  =>  x = 2(u-cx)/(fx-(u-cx))
+    rr, cc = np.where(cov)
+    u = cc + 0.5
+    x = 2 * (u - cx) / (fx - (u - cx))
+    z_true = 2.0 + x
+    np.testing.assert_allclose(depth[rr, cc], z_true, rtol=2e-3)
+
+
+def test_degenerate_and_invalid_triangles_ignored():
+    h, w = 16, 16
+    tris = np.array(
+        [
+            [[0, 0, -2], [0, 0, -2], [0, 0, -2]],  # degenerate
+            [[-1, -1, -2], [1, -1, -2], [0, 1, -2]],  # masked out
+            [[-1, -1, 1.0], [1, -1, 1.0], [0, 1, 1.0]],  # behind camera
+        ],
+        np.float32,
+    )
+    depth, lid = _raster_single(
+        tris, [0, 1, 2], [True, False, True], np.eye(4), 16, 16, 8, 8, h, w
+    )
+    assert np.asarray(depth).max() == 0
+    assert np.asarray(lid).max() == -1
+
+
+def test_render_batch_link_mask_and_poses():
+    """render_batch: per-candidate link poses + runtime link masking."""
+    h, w = 32, 32
+    intrin = jnp.array([32.0, 32.0, 16.0, 16.0])
+    tri = np.array([[[-0.5, -0.5, 0], [0.5, -0.5, 0], [0, 0.7, 0]]], np.float32)
+    # Two links, one triangle each; link 1's triangle offset in model space.
+    verts = np.concatenate([tri, tri + np.array([1.2, 0, 0])], 0)
+    link_ids = np.array([0, 1], np.int32)
+    valid = np.array([True, True])
+    # Camera looks along -Z from origin; push links to z=-3 via link poses.
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -3.0
+    poses = jnp.asarray(np.stack([np.stack([pose, pose])] * 2))  # [B=2, L=2]
+    depth, lid = render_batch(
+        poses,
+        jnp.array([True, True]),
+        jnp.asarray(verts),
+        jnp.asarray(link_ids),
+        jnp.asarray(valid),
+        jnp.eye(4),
+        intrin,
+        h,
+        w,
+    )
+    assert depth.shape == (2, h, w)
+    assert set(np.unique(np.asarray(lid))) == {-1, 0, 1}
+    # Mask out link 1 at runtime:
+    depth2, lid2 = render_batch(
+        poses,
+        jnp.array([True, False]),
+        jnp.asarray(verts),
+        jnp.asarray(link_ids),
+        jnp.asarray(valid),
+        jnp.eye(4),
+        intrin,
+        h,
+        w,
+    )
+    assert set(np.unique(np.asarray(lid2))) == {-1, 0}
+    # Link-0 pixels identical between the two renders.
+    l0 = np.asarray(lid)[0] == 0
+    np.testing.assert_array_equal(np.asarray(depth)[0][l0], np.asarray(depth2)[0][l0])
+
+
+def test_camera_pose_projection_consistency():
+    """Project a known world point through camera_matrices and check the
+    rasterized blob lands at the predicted pixel."""
+    h, w = 96, 96
+    fx = fy = 120.0
+    cx = cy = 48.0
+    cam_pose = [0.0, -1.5, 0.75, 0, 0, 0]  # default: looking along +Y
+    c2w, w2c = camera_matrices(cam_pose)
+    # Small triangle around world point (0.1, 0, 0.8).
+    p = np.array([0.1, 0.0, 0.8])
+    r = 0.02
+    tris = np.array(
+        [[p + [-r, 0, -r], p + [r, 0, -r], p + [0, 0, r]]], np.float32
+    )
+    depth, _ = _raster_single(tris, [0], [True], w2c, fx, fy, cx, cy, h, w)
+    depth = np.asarray(depth)
+    # Analytic projection.
+    pc = (w2c @ np.append(p, 1.0))[:3]
+    zc = -pc[2]
+    u = fx * pc[0] / zc + cx
+    v = cy - fy * pc[1] / zc
+    rr, cc = np.where(depth > 0)
+    assert len(rr) > 0
+    assert abs(cc.mean() - u) < 2.0
+    assert abs(rr.mean() - v) < 2.0
+    np.testing.assert_allclose(depth[depth > 0].mean(), zc, rtol=0.02)
