@@ -277,6 +277,75 @@ def render_batch(
     return depth, lid
 
 
+def triangle_shade(cam_verts: jnp.ndarray) -> jnp.ndarray:
+    """Flat Lambertian shade per triangle for 'real'-mode rendering.
+
+    Headlight model: directional light co-located with the camera (the
+    reference attaches a DirectionalLight at the camera node,
+    render.py:57-59), so shade = |n_z| of the camera-space face normal.
+    Returns uint8 [N] in [0, 255].
+    """
+    e1 = cam_verts[:, 1] - cam_verts[:, 0]
+    e2 = cam_verts[:, 2] - cam_verts[:, 0]
+    n = jnp.cross(e1, e2)
+    nz = jnp.abs(n[:, 2]) / jnp.maximum(jnp.linalg.norm(n, axis=1), 1e-12)
+    return (nz * 255.0).astype(jnp.uint8)
+
+
+def rasterize_shaded(
+    coeffs: jnp.ndarray,  # [N, 4, 3]
+    qrange: jnp.ndarray,  # [N, 2]
+    link_ids: jnp.ndarray,  # [N]
+    shade: jnp.ndarray,  # [N] uint8
+    h: int,
+    w: int,
+    row0=0,
+    col0=0,
+    chunk: int = 512,
+):
+    """Like :func:`rasterize` but also carries a per-triangle shade value.
+
+    Steals 11 mantissa LSBs of the packed inverse-depth key (8 shade + 3
+    link id) — ~2.4e-4 relative depth error, display-only path.
+    Returns (depth, link_id, shade_map [H, W] uint8).
+    """
+    N = coeffs.shape[0]
+    P = h * w
+    pad = (-N) % chunk
+    if pad:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.tile(jnp.array([0.0, 0.0, -1.0]), (pad, 4, 1))], axis=0
+        )
+        qrange = jnp.concatenate([qrange, jnp.zeros((pad, 2), qrange.dtype)])
+        link_ids = jnp.concatenate([link_ids, jnp.zeros((pad,), link_ids.dtype)])
+        shade = jnp.concatenate([shade, jnp.zeros((pad,), shade.dtype)])
+    n_chunks = coeffs.shape[0] // chunk
+    X = _pixel_matrix(h, w, row0, col0)
+    coeffs = coeffs.reshape(n_chunks, chunk, 4, 3)
+    qrange = qrange.reshape(n_chunks, chunk, 2)
+    meta = ((shade.astype(jnp.int32) << 3) | link_ids.astype(jnp.int32)).reshape(
+        n_chunks, chunk
+    )
+
+    def body(kmax, inp):
+        C, QR, M = inp
+        E = jnp.einsum("nkc,cp->nkp", C, X, preferred_element_type=jnp.float32)
+        covered = jnp.all(E[:, :3, :] >= 0.0, axis=1)
+        q = jnp.clip(E[:, 3, :], QR[:, 0, None], QR[:, 1, None])
+        qv = jnp.where(covered & (q > 0), q, 0.0)
+        key = (jax.lax.bitcast_convert_type(qv, jnp.int32) & ~0x7FF) | M[:, None]
+        key = jnp.where(qv > 0, key, -1)
+        return jnp.maximum(kmax, jnp.max(key, axis=0)), None
+
+    kmax, _ = jax.lax.scan(body, jnp.full((P,), -1, jnp.int32), (coeffs, qrange, meta))
+    hit = kmax >= 0
+    qmax = jax.lax.bitcast_convert_type(kmax & ~0x7FF, jnp.float32)
+    depth = jnp.where(hit, 1.0 / jnp.maximum(qmax, 1e-12), 0.0)
+    lid = jnp.where(hit, kmax & 7, -1)
+    shade_map = jnp.where(hit, (kmax >> 3) & 0xFF, 0).astype(jnp.uint8)
+    return depth.reshape(h, w), lid.reshape(h, w), shade_map.reshape(h, w)
+
+
 def link_id_to_color(link_id: jnp.ndarray, palette: np.ndarray) -> jnp.ndarray:
     """Materialise an RGB seg image from a link-id map.
 

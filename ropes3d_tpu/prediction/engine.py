@@ -1,0 +1,403 @@
+"""Batched candidate-search engine: every stage as a jitted device program.
+
+This is the architectural heart of the TPU build (SURVEY.md §7): instead of
+the reference's interleaved Python/OpenGL render-compare loops
+(``robotpose/prediction/predict.py:159-374``), everything from joint angles
+to scalar error is one jitted, vmapped function
+
+    eval(candidate_angles[B, 6], target) -> err[B]
+
+and each stage is a candidate-proposal strategy around it:
+
+- ``descent``       — the full adaptive coordinate descent (predict.py:173-229)
+                      as a single device dispatch (lax.while over iterations,
+                      lax.fori over joints, 2-candidate eval per step)
+- ``isweep``        — InterpolativeSweep (predict.py:283-338): one batched
+                      render of all divisions + on-device not-a-knot cubic
+                      interpolation of the error curve
+- ``tensor_sweep``  — TensorSweep (predict.py:340-373)
+- ``lookup_select`` — lookup-stack argmin (predict.py:163-171)
+- ``evaluate``      — raw batched error (used by the host-side SFlip logic)
+
+Stage-persistent search state (angles, learning rates, history, error
+history) crosses stage boundaries exactly as in the reference, where
+``history``/``err_history`` are shared across the stage loop
+(predict.py:144-148).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import Intrinsics, camera_matrices
+from ..ops.error import TargetBundle, link_error
+from ..ops.interp import cubic_spline_uniform
+from ..ops.rasterizer import render_batch
+from ..robot import MeshLoader, URDFReader
+from ..robot.kinematics import make_fk
+
+
+class SearchState(NamedTuple):
+    """Search state threaded through stages (predict.py:144-148)."""
+
+    angles: jnp.ndarray  # [6]
+    lr: jnp.ndarray  # [6] per-joint learning rate
+    history: jnp.ndarray  # [5, 6] recent angle history
+    err_hist: jnp.ndarray  # [5] recent error history
+
+    @staticmethod
+    def fresh(history_length: int = 5) -> "SearchState":
+        return SearchState(
+            jnp.zeros(6, jnp.float32),
+            jnp.ones(6, jnp.float32) * 0.1,
+            jnp.zeros((history_length, 6), jnp.float32),
+            jnp.zeros(history_length, jnp.float32),
+        )
+
+
+class CandidateEvaluator:
+    """Holds the device scene + compiled stage programs for one camera setup."""
+
+    def __init__(
+        self,
+        camera_pose,
+        intrinsics: Intrinsics,
+        min_ang_inc: np.ndarray = None,
+        max_tris_per_link: int = 256,
+        urdf: URDFReader = None,
+    ):
+        self.u_reader = urdf or URDFReader()
+        self.intrinsics = intrinsics
+        self.h, self.w = intrinsics.height, intrinsics.width
+        self._intrin_vec = jnp.array(
+            [intrinsics.f[0], intrinsics.f[1], intrinsics.pp[0], intrinsics.pp[1]],
+            jnp.float32,
+        )
+        loader = MeshLoader(max_tris_per_link=max_tris_per_link, urdf=self.u_reader)
+        packed = loader.scene
+        self._packed = packed
+        self.num_links = packed.num_links
+        self._tris_per_link = packed.tris_per_link
+        v, ids, valid = packed.flat()
+        self._verts = jnp.asarray(v)
+        self._link_ids = jnp.asarray(ids)
+        self._valid = jnp.asarray(valid)
+
+        self._fk = make_fk(self.u_reader)
+        self.joint_limits = jnp.asarray(self.u_reader.joint_limits, jnp.float32)
+        self.min_ang_inc = jnp.asarray(
+            min_ang_inc if min_ang_inc is not None else np.array([0.005] * 6),
+            jnp.float32,
+        )
+        self.set_camera_pose(camera_pose)
+
+    def set_camera_pose(self, pose) -> None:
+        self.camera_pose = np.asarray(pose, float)
+        _, w2c = camera_matrices(self.camera_pose)
+        self._w2c = jnp.asarray(w2c, jnp.float32)
+
+    # ------------------------------------------------------------ core eval
+    def _scene_slice(self, to_render: int):
+        n = min(to_render, self.num_links) * self._tris_per_link
+        return self._verts[:n], self._link_ids[:n], self._valid[:n]
+
+    def _render_fn(self, to_render: int):
+        verts, ids, valid = self._scene_slice(to_render)
+        link_mask = jnp.ones(min(to_render, self.num_links), bool)
+        intrin = self._intrin_vec
+        h, w = self.h, self.w
+        fk = self._fk
+        L = min(to_render, self.num_links)
+
+        def render(angles, w2c):
+            poses = fk(angles)[:, :L]
+            return render_batch(
+                poses, link_mask, verts, ids, valid, w2c, intrin, h, w
+            )
+
+        return render
+
+    def _eval_fn(self, to_render: int):
+        render = self._render_fn(to_render)
+        link_active = (jnp.arange(6) >= 1) & (jnp.arange(6) < to_render)
+
+        def eval_batch(angles, w2c, target: TargetBundle):
+            depth, lid = render(angles, w2c)
+            return jax.vmap(lambda d, l: link_error(target, d, l, link_active))(
+                depth, lid
+            )
+
+        return eval_batch
+
+    @functools.lru_cache(maxsize=8)
+    def _evaluate_jit(self, to_render: int):
+        return jax.jit(self._eval_fn(to_render))
+
+    def evaluate(self, angles, target: TargetBundle, to_render: int) -> np.ndarray:
+        """Batched error of candidate angles[B, 6] -> numpy err[B]."""
+        f = self._evaluate_jit(to_render)
+        return np.asarray(
+            f(jnp.asarray(angles, jnp.float32).reshape(-1, 6), self._w2c, target)
+        )
+
+    # ------------------------------------------------------------ descent
+    @functools.lru_cache(maxsize=8)
+    def _descent_jit(self, to_render: int):
+        eval_batch = self._eval_fn(to_render)
+        limits = self.joint_limits
+        min_inc = self.min_ang_inc
+
+        def descent(
+            state: SearchState,
+            w2c,
+            target: TargetBundle,
+            joints_mask,  # [6] bool
+            its,  # int32
+            rate_redux,  # f32
+            early_stop,  # f32
+        ) -> SearchState:
+            def body(carry):
+                angles, lr, history, err_hist, it, stop = carry
+                mean_hist = jnp.mean(history, axis=0)
+
+                def joint_body(j, jc):
+                    angles, lr, last_min = jc
+
+                    def do(_):
+                        # Rate adaptation (predict.py:184-187).
+                        lr_j = jnp.where(
+                            jnp.abs(mean_hist[j] - angles[j]) <= lr[j],
+                            lr[j] * rate_redux,
+                            lr[j],
+                        )
+                        lr2 = jnp.maximum(lr.at[j].set(lr_j), min_inc)
+                        under = angles.at[j].add(-lr2[j])
+                        over = angles.at[j].add(lr2[j])
+                        errs = eval_batch(jnp.stack([under, over]), w2c, target)
+                        inl_u = (under[j] >= limits[j, 0]) & (under[j] <= limits[j, 1])
+                        inl_o = (over[j] >= limits[j, 0]) & (over[j] <= limits[j, 1])
+                        err_u = jnp.where(inl_u, errs[0], jnp.inf)
+                        err_o = jnp.where(inl_o, errs[1], jnp.inf)
+                        delta = jnp.where(
+                            err_o < err_u,
+                            lr2[j],
+                            jnp.where(err_o > err_u, -lr2[j], 0.0),
+                        )
+                        return (
+                            angles.at[j].add(delta),
+                            lr2,
+                            jnp.minimum(err_o, err_u),
+                        )
+
+                    return jax.lax.cond(
+                        joints_mask[j], do, lambda _: (angles, lr, last_min), None
+                    )
+
+                angles2, lr2, last_min = jax.lax.fori_loop(
+                    0, 6, joint_body, (angles, lr, jnp.inf)
+                )
+                history2 = jnp.concatenate([angles2[None], history[:-1]])
+                err_hist2 = jnp.concatenate([last_min[None], err_hist[:-1]])
+
+                # Stop rules (predict.py:223-230).
+                e0 = err_hist2[0]
+                c1 = jnp.abs(jnp.mean(err_hist2) - e0) / e0 < early_stop
+                rng = history2.max(0) - history2.min(0)
+                c2 = jnp.all((rng <= min_inc) | jnp.isclose(rng, min_inc))
+                c3 = jnp.all(history2[:3] == history2[0])
+                return (angles2, lr2, history2, err_hist2, it + 1, c1 | c2 | c3)
+
+            def cond(carry):
+                return (carry[4] < its) & (~carry[5])
+
+            angles, lr, history, err_hist, _, _ = jax.lax.while_loop(
+                cond,
+                body,
+                (state.angles, state.lr, state.history, state.err_hist,
+                 jnp.int32(0), jnp.bool_(False)),
+            )
+            return SearchState(angles, lr, history, err_hist)
+
+        return jax.jit(descent)
+
+    def descent(
+        self, state: SearchState, target: TargetBundle, stage
+    ) -> SearchState:
+        """Run a Descent stage config on device; init_rate applied host-side
+        (predict.py:175-177)."""
+        lr = np.array(state.lr)
+        for i, r in enumerate(stage.init_rate):
+            if r is not None:
+                lr[i] = r
+        state = state._replace(lr=jnp.asarray(lr, jnp.float32))
+        f = self._descent_jit(stage.to_render)
+        return f(
+            state,
+            self._w2c,
+            target,
+            jnp.asarray(stage.joints),
+            jnp.int32(stage.its),
+            jnp.float32(stage.rate_redux),
+            jnp.float32(stage.early_stop),
+        )
+
+    # ------------------------------------------------------------ sweeps
+    @functools.lru_cache(maxsize=16)
+    def _isweep_jit(self, to_render: int, divs: int):
+        eval_batch = self._eval_fn(to_render)
+        limits = self.joint_limits
+
+        def isweep(state: SearchState, w2c, target, j, range_val) -> SearchState:
+            angles, err_hist = state.angles, state.err_hist
+            base_err = eval_batch(angles[None], w2c, target)[0]
+            full = jnp.isnan(range_val)
+            lo = jnp.where(
+                full, limits[j, 0], jnp.maximum(angles[j] - range_val, limits[j, 0])
+            )
+            hi = jnp.where(
+                full, limits[j, 1], jnp.minimum(angles[j] + range_val, limits[j, 1])
+            )
+            frac = jnp.arange(divs, dtype=jnp.float32) / (divs - 1)
+            space_j = lo + (hi - lo) * frac
+            space = jnp.tile(angles, (divs, 1)).at[:, j].set(space_j)
+            errs = eval_batch(space, w2c, target)
+
+            m = divs * 5
+            x = lo + (hi - lo) * jnp.arange(m, dtype=jnp.float32) / (m - 1)
+            pred = cubic_spline_uniform(lo, hi, errs, x)
+            pred_min_ang = x[jnp.argmin(pred)]
+            cand = angles.at[j].set(pred_min_ang)
+            pred_min_err = eval_batch(cand[None], w2c, target)[0]
+
+            grid_min = jnp.min(errs)
+            min_type = jnp.argmin(jnp.stack([base_err, grid_min, pred_min_err]))
+            angles_new = jax.lax.switch(
+                min_type,
+                [
+                    lambda: angles,
+                    lambda: space[jnp.argmin(errs)],
+                    lambda: cand,
+                ],
+            )
+            sel_err = jnp.where(min_type == 1, grid_min, pred_min_err)
+            err_hist2 = jnp.where(
+                min_type != 0,
+                jnp.concatenate([sel_err[None], err_hist[:-1]]),
+                err_hist,
+            )
+            history2 = jnp.concatenate([angles_new[None], state.history[:-1]])
+            return SearchState(angles_new, state.lr, history2, err_hist2)
+
+        return jax.jit(isweep)
+
+    def isweep(
+        self, state: SearchState, target: TargetBundle, stage, joint_idx: int
+    ) -> SearchState:
+        f = self._isweep_jit(stage.to_render, stage.divs)
+        rng = jnp.float32(np.nan if stage.range is None else stage.range)
+        return f(state, self._w2c, target, jnp.int32(joint_idx), rng)
+
+    @functools.lru_cache(maxsize=16)
+    def _tsweep_jit(self, to_render: int, divs: int):
+        render = self._render_fn(to_render)
+        limits = self.joint_limits
+
+        def tsweep(state: SearchState, w2c, tgt_depth, j, range_val) -> SearchState:
+            angles = state.angles
+            full = jnp.isnan(range_val)
+            lo = jnp.where(
+                full, limits[j, 0], jnp.maximum(angles[j] - range_val, limits[j, 0])
+            )
+            hi = jnp.where(
+                full, limits[j, 1], jnp.minimum(angles[j] + range_val, limits[j, 1])
+            )
+            frac = jnp.arange(divs, dtype=jnp.float32) / (divs - 1)
+            space = jnp.tile(angles, (divs, 1)).at[:, j].set(lo + (hi - lo) * frac)
+            depth, _ = render(space, w2c)
+            # Sqrt-domain depth error, mean * -std (predict.py:363-369).
+            diff = jnp.abs(jnp.sqrt(tgt_depth)[None] - jnp.sqrt(depth))
+            errs = jnp.mean(diff, axis=(1, 2)) * -jnp.std(diff, axis=(1, 2))
+            angles_new = space[jnp.argmin(errs)]
+            history2 = jnp.concatenate([angles_new[None], state.history[:-1]])
+            return SearchState(angles_new, state.lr, history2, state.err_hist)
+
+        return jax.jit(tsweep)
+
+    def tensor_sweep(
+        self,
+        state: SearchState,
+        tgt_depth: jnp.ndarray,
+        stage,
+        joint_idx: int,
+    ) -> SearchState:
+        f = self._tsweep_jit(stage.to_render, stage.divs)
+        rng = jnp.float32(np.nan if stage.range is None else stage.range)
+        return f(state, self._w2c, tgt_depth, jnp.int32(joint_idx), rng)
+
+    # ------------------------------------------------------------ lookup
+    @staticmethod
+    @jax.jit
+    def lookup_select(
+        tgt_crop: jnp.ndarray,  # [ch, cw] raw-domain cropped target depth
+        lookup_sqrt: jnp.ndarray,  # [N, ch, cw] sqrt-domain lookup stack
+        lookup_angles: jnp.ndarray,  # [N, 6]
+    ) -> jnp.ndarray:
+        """Lookup-stage argmin.  NOTE reference parity: the target is raw
+        depth while the stack is sqrt-domain (predict.py:117 vs 406) — the
+        comparison is a silhouette-weighted heuristic, reproduced exactly."""
+        diff = jnp.abs(tgt_crop[None] - lookup_sqrt)
+        err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+        return lookup_angles[jnp.argmin(err)]
+
+    # ------------------------------------------------------------ sflip
+    def sflip(self, state: SearchState, target: TargetBundle, stage) -> SearchState:
+        """Perspective S-flip (predict.py:232-281).  Scalar branch logic on
+        host; error evals batched on device."""
+        angles = np.asarray(state.angles, dtype=np.float64)
+        cp = self.camera_pose
+        limits = np.asarray(self.u_reader.joint_limits)
+
+        # Shadow-equivalent flip angle about the camera azimuth.
+        a = cp[5] * np.abs(np.cos(cp[3])) + cp[4] * np.abs(np.sin(cp[3]))
+        temp = angles.copy()
+        temp[0] = -temp[0] + 2 * a * np.sign(temp[0])
+
+        limit_thresh = 0.15
+        close_to_limits = (
+            limit_thresh > abs(limits[0, 0] - temp[0])
+            or limit_thresh > abs(limits[0, 1] - temp[0])
+        )
+        in_limits = limits[0, 0] <= temp[0] <= limits[0, 1]
+
+        cands = [angles]
+        if in_limits:
+            cands.append(temp.copy())
+        endpoint_cand = None
+        if not in_limits or close_to_limits:
+            for endpoint in limits[0]:
+                e = temp.copy()
+                e[0] = endpoint
+                cands.append(e)
+            endpoint_cand = cands[-1]  # upper endpoint; see note below
+        errs = self.evaluate(np.stack(cands), target, stage.to_render)
+
+        base_err = errs[0]
+        new_angles = angles
+        i = 1
+        if in_limits:
+            if errs[i] < base_err:
+                new_angles = temp
+                base_err = errs[i]
+            i += 1
+        if endpoint_cand is not None:
+            # Reference parity (predict.py:268-277): only the *last* endpoint's
+            # error survives the loop, so only the upper endpoint can win.
+            last_err = errs[i + 1]
+            if last_err < base_err:
+                new_angles = endpoint_cand
+        return state._replace(angles=jnp.asarray(new_angles, jnp.float32))

@@ -1,0 +1,254 @@
+"""Per-frame joint-angle predictor.
+
+API-parity re-implementation of the reference ``Predictor``
+(``robotpose/prediction/predict.py:37-375``): same constructor signature,
+same staged search recipes, same outputs — but every stage executes as a
+batched device program through :class:`~ropes3d_tpu.prediction.engine.
+CandidateEvaluator` instead of per-candidate OpenGL renders.
+
+Target preprocessing (``_segmentLoad``/``_loadSynthetic``,
+predict.py:397-469) builds a device-resident :class:`TargetBundle`; the
+segmentation network path uses the JAX Mask R-CNN
+(``ropes3d_tpu/models``), the synthetic path recovers masks from render
+colors exactly as the reference's color_dict branch does.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    DEFAULT_CAMERA_POSE,
+    LOOKUP_JOINTS,
+    LOOKUP_NUM_RENDERED,
+    MAX_LINKS,
+)
+from ..camera import Intrinsics
+from ..ops.error import TargetBundle
+from ..ops.image import close_mask, downsample
+from ..robot import URDFReader
+from ..simulation.crop_cache import Crop, applyCrop
+from ..simulation.lookup import RobotLookupManager
+from ..simulation.renderer import Renderer
+from ..utils import StageTimer
+from .engine import CandidateEvaluator, SearchState
+from .stages import Descent, InterpolativeSweep, Lookup, SFlip, TensorSweep, getStages
+
+HISTORY_LENGTH = 5
+
+
+class Predictor:
+    def __init__(
+        self,
+        camera_pose: np.ndarray = DEFAULT_CAMERA_POSE,
+        ds_factor: int = 8,
+        preview: bool = False,
+        save_to: str = None,
+        do_angles: str = "SLU",
+        min_angle_inc: np.ndarray = np.array([0.005] * 6),
+        base_intrin: str = "1280_720_color",
+        model_ds: str = "set10",
+        color_dict: Optional[dict] = None,
+    ):
+        self.ds_factor, self.preview = ds_factor, preview
+        self.do_angles = do_angles.upper()
+        self.min_ang_inc = min_angle_inc
+        self.history_length = HISTORY_LENGTH
+        self.timer = StageTimer()
+
+        self.intrinsics = Intrinsics(base_intrin)
+        self.intrinsics.downscale(ds_factor)
+        self.u_reader = URDFReader()
+        self.renderer = Renderer("seg", camera_pose, self.intrinsics)
+
+        self.synthetic = color_dict is not None
+        self.classes = ["BG"] + self.u_reader.mesh_names[:6]
+        self.link_names = self.classes[1:]
+
+        if self.synthetic:
+            self.color_dict = color_dict
+        else:
+            from ..training.model_registry import ModelManager
+            from ..models.inference import Segmenter
+
+            mm = ModelManager()
+            self.seg = Segmenter(
+                mm.dynamicLoad(dataset=model_ds), class_names=self.classes
+            )
+
+        self.engine = CandidateEvaluator(
+            camera_pose, self.intrinsics, min_angle_inc, urdf=self.u_reader
+        )
+        self.crops = Crop(camera_pose, self.intrinsics)
+
+        if preview:
+            from .viz import ProjectionViz
+
+            self.viz = ProjectionViz(save_to)
+
+        self.changeCameraPose(camera_pose)
+
+    # ------------------------------------------------------------ camera
+    def changeCameraPose(self, camera_pose) -> None:
+        self.camera_pose = np.asarray(camera_pose, float)
+        self.renderer.setCameraPose(camera_pose)
+        self.engine.set_camera_pose(camera_pose)
+        self._loadLookup()
+
+    def _loadLookup(self) -> None:
+        lm = RobotLookupManager()
+        ang, depth = lm.get(
+            self.intrinsics, self.camera_pose, LOOKUP_NUM_RENDERED, LOOKUP_JOINTS
+        )
+        self.lookup_angles = jnp.asarray(ang, jnp.float32)
+        # Sqrt-domain device-resident stack (predict.py:117).
+        self.lookup_depth = jnp.sqrt(jnp.asarray(depth, jnp.float32))
+
+    def _setStages(self) -> None:
+        self.stages = getStages(self.do_angles)
+        if self.stages is None:
+            raise ValueError(
+                f"Stages not defined for joint set {self.do_angles}. "
+                "Define in ropes3d_tpu/prediction/stages.py."
+            )
+
+    # ------------------------------------------------------------ targets
+    def _downsample(self, base: np.ndarray, factor: int) -> np.ndarray:
+        return np.asarray(downsample(jnp.asarray(base), factor))
+
+    def _build_bundle(self, masks: dict, masked: dict, tgt_depth: np.ndarray):
+        h, w = tgt_depth.shape
+        m = np.zeros((6, h, w), bool)
+        md = np.zeros((6, h, w), np.float32)
+        present = np.zeros(6, bool)
+        for i, link in enumerate(self.link_names):
+            if link in masks:
+                m[i] = masks[link]
+                md[i] = masked[link]
+                present[i] = True
+        return TargetBundle(
+            jnp.asarray(m), jnp.asarray(md), jnp.asarray(present),
+            jnp.asarray(tgt_depth, jnp.float32),
+        )
+
+    def _loadSynthetic(self, target_color, target_depth):
+        """Recover per-link masks from exact render colors
+        (predict.py:445-469; matching on the unique blue channel)."""
+        target_color = np.asarray(
+            self._downsample(target_color, self.ds_factor)
+        ).round().astype(np.uint8)
+
+        lookup_depth = target_depth.copy()
+        sel = np.zeros(target_depth.shape, bool)
+        for k, color in self.color_dict.items():
+            if k in self.u_reader.mesh_names[:LOOKUP_NUM_RENDERED]:
+                sel |= target_color[..., 0] == color[0]
+        lookup_depth = lookup_depth * sel.astype(float)
+
+        masks, masked = {}, {}
+        for link in self.link_names:
+            link_mask = target_color[..., 0] == self.color_dict[link][0]
+            if link_mask.sum() > 0:
+                masks[link] = link_mask
+                masked[link] = link_mask * target_depth
+
+        self._target = self._build_bundle(masks, masked, target_depth)
+        self._tgt_lookup_crop = jnp.asarray(
+            applyCrop(lookup_depth, self.crops[LOOKUP_NUM_RENDERED]), jnp.float32
+        )
+        return target_color, target_depth, lookup_depth
+
+    def _segmentLoad(self, target_color, target_depth):
+        """Mask R-CNN segmentation -> per-link masks (predict.py:415-442)."""
+        color_ds = self._downsample(target_color, self.ds_factor).astype(np.uint8)
+        seg_data, output = self.seg.segment(color_ds)
+
+        # Robot-body isolation: union of masks, dilate(8)/erode(7).
+        union = np.zeros(target_depth.shape, bool)
+        for k in seg_data:
+            union |= seg_data[k]["mask"]
+        body = np.asarray(close_mask(jnp.asarray(union), 8, 7))
+        target_depth = target_depth * body.astype(float)
+
+        lookup_depth = target_depth.copy()
+        union = np.zeros(target_depth.shape, bool)
+        for k in seg_data:
+            if k in self.u_reader.mesh_names[:LOOKUP_NUM_RENDERED]:
+                union |= seg_data[k]["mask"]
+        body = np.asarray(close_mask(jnp.asarray(union), 8, 7))
+        lookup_depth = lookup_depth * body.astype(float)
+
+        masks, masked = {}, {}
+        for link in self.link_names:
+            if link in seg_data:
+                masks[link] = seg_data[link]["mask"]
+                masked[link] = seg_data[link]["mask"] * target_depth
+
+        self._target = self._build_bundle(masks, masked, target_depth)
+        self._tgt_lookup_crop = jnp.asarray(
+            applyCrop(lookup_depth, self.crops[LOOKUP_NUM_RENDERED]), jnp.float32
+        )
+        return output, target_depth, lookup_depth
+
+    # ------------------------------------------------------------ run
+    def run(self, target_color, target_depth, camera_pose=None) -> np.ndarray:
+        if camera_pose is not None and np.any(camera_pose != self.camera_pose):
+            self.changeCameraPose(camera_pose)
+
+        target_depth = self._downsample(target_depth, self.ds_factor)
+
+        with self.timer.stage("target_load"):
+            if self.synthetic:
+                output, target_depth, lookup_depth = self._loadSynthetic(
+                    target_color, target_depth
+                )
+            else:
+                output, target_depth, lookup_depth = self._segmentLoad(
+                    target_color, target_depth
+                )
+
+        if self.preview:
+            self.viz.loadTargetColor(np.asarray(output))
+            self.viz.loadTargetDepth(np.asarray(target_depth))
+
+        self._setStages()
+        state = SearchState.fresh(self.history_length)
+        target = self._target
+
+        for stage in self.stages:
+            name = type(stage).__name__
+            with self.timer.stage(name):
+                if isinstance(stage, Lookup):
+                    angles = self.engine.lookup_select(
+                        self._tgt_lookup_crop, self.lookup_depth, self.lookup_angles
+                    )
+                    state = state._replace(angles=angles)
+                elif isinstance(stage, Descent):
+                    state = self.engine.descent(state, target, stage)
+                elif isinstance(stage, SFlip):
+                    state = self.engine.sflip(state, target, stage)
+                elif isinstance(stage, InterpolativeSweep):
+                    for j in np.where(stage.joints)[0]:
+                        state = self.engine.isweep(state, target, stage, int(j))
+                elif isinstance(stage, TensorSweep):
+                    for j in np.where(stage.joints)[0]:
+                        state = self.engine.tensor_sweep(
+                            state, target.depth, stage, int(j)
+                        )
+                else:
+                    raise TypeError(f"Unknown stage type {name}")
+
+            if self.preview:
+                self._preview_state(state)
+
+        return np.asarray(state.angles, dtype=float)
+
+    def _preview_state(self, state: SearchState) -> None:
+        self.renderer.setJointAngles(np.asarray(state.angles))
+        color, depth = self.renderer.render()
+        self.viz.loadRenderedColor(color)
+        self.viz.loadRenderedDepth(depth)
+        self.viz.show()

@@ -1,0 +1,81 @@
+"""Synthetic closed-loop evaluation harness.
+
+Parity port of ``robotpose/prediction/synthetic.py:11-75``: renders the
+robot at a known (random or given) pose, feeds the perfect render back into
+the predictor via the color_dict branch (bypassing segmentation), and
+reports (actual, predicted) pairs.  This is the de-facto integration test
+of the whole pipeline (SURVEY.md §4.1) and the driver of the ≤0.5°
+best-case-accuracy target.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..robot import URDFReader
+from ..simulation.noise import NoiseMaker
+from ..simulation.renderer import Renderer
+from ..utils import str_to_arr
+from .predictor import Predictor
+
+
+class SyntheticPredictor:
+    def __init__(
+        self,
+        camera_pose,
+        base_intrin: str,
+        ds_factor: int,
+        do_angles: str,
+        noise: bool = False,
+        seed: int = None,
+    ):
+        self.renderer = Renderer(camera_pose=camera_pose, camera_intrin=base_intrin)
+        self.predictor = Predictor(
+            camera_pose,
+            ds_factor,
+            do_angles=do_angles,
+            base_intrin=base_intrin,
+            color_dict=self.renderer.color_dict,
+        )
+        self.urdf_reader = URDFReader()
+        self.do_angles = do_angles
+        self.rng = np.random.default_rng(seed)
+        self.noise = NoiseMaker(self.rng)
+        self.do_noise = noise
+
+    def run(self, pose=None):
+        if pose is None:
+            pose = self._generatePose()
+        self.renderer.setJointAngles(pose)
+        color, depth = self.renderer.render()
+        if self.do_noise:
+            depth = self.noise.holes(depth)
+        predicted = self.predictor.run(color, depth)
+        return pose, predicted
+
+    def _generatePose(self) -> np.ndarray:
+        lim = self.urdf_reader.joint_limits
+        selection = self.rng.uniform(lim[:, 0], lim[:, 1])
+        return selection * str_to_arr(self.do_angles)
+
+    def run_batch(self, number: int, file: str = "synth_test") -> np.ndarray:
+        if not file.endswith(".npy"):
+            file += ".npy"
+        results = np.zeros((2, number, 6))
+        for i in range(number):
+            results[0, i], results[1, i] = self.run()
+            if i % 250 == 0:
+                np.save(file, results)
+        np.save(file, results)
+        return results
+
+    def run_batch_poses(self, poses: np.ndarray, file: str = "synth_test") -> np.ndarray:
+        if not file.endswith(".npy"):
+            file += ".npy"
+        results = np.zeros((2, len(poses), 6))
+        for i in range(len(poses)):
+            results[0, i], results[1, i] = self.run(poses[i])
+            if i % 250 == 0:
+                np.save(file, results)
+        np.save(file, results)
+        return results

@@ -1,0 +1,130 @@
+"""End-to-end prediction pipeline tests (CPU, starved config).
+
+The synthetic closed loop is the reference's de-facto integration test
+(SURVEY.md §4.1): render a known pose, predict it back.  On CPU we run a
+deliberately small configuration (640x480/16 -> 40x30 px working images,
+6x6x6 lookup); production accuracy targets apply to the TPU config
+(160x90, HBM-sized lookup) exercised by bench.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def predict_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("predict_root")
+    import json
+
+    (root / "data").mkdir()
+    with open(root / "data" / "paths.json", "w") as f:
+        json.dump(
+            {
+                "URDFS": os.path.join(os.environ["ROPES3D_ROOT"], "urdfs/"),
+                "URDF": os.path.join(
+                    os.environ["ROPES3D_ROOT"],
+                    "urdfs/motoman_mh5_support_limited/urdf/mh5l_limited.urdf",
+                ),
+            },
+            f,
+        )
+    old_root = os.environ.get("ROPES3D_ROOT")
+    os.environ["ROPES3D_ROOT"] = str(root)
+    import ropes3d_tpu.simulation.crop_cache as cc
+
+    old_budget = cc.CROP_SEC_ALLOTTED_APPROX
+    cc.CROP_SEC_ALLOTTED_APPROX = 0.02
+    from ropes3d_tpu.config import Paths
+
+    Paths(str(root)).create()
+    yield str(root)
+    cc.CROP_SEC_ALLOTTED_APPROX = old_budget
+    os.environ["ROPES3D_ROOT"] = old_root
+
+
+CAM = [0, -1.5, 0.75, 0, 0, 0]
+
+
+@pytest.fixture(scope="session")
+def synth(predict_root):
+    from ropes3d_tpu.simulation.lookup import RobotLookupManager
+
+    lm = RobotLookupManager()
+    ang, dep = lm.get(
+        "640_480_color_16", CAM, 6, "SLU", divisions=np.array([6, 6, 6, 1, 1, 1])
+    )
+    assert ang.shape == (216, 6)
+    from ropes3d_tpu.prediction.synthetic import SyntheticPredictor
+
+    return SyntheticPredictor(CAM, "640_480_color", 16, "SLU", noise=False, seed=0)
+
+
+def test_lookup_registry_roundtrip(predict_root, synth):
+    import json
+
+    from ropes3d_tpu.config import Paths
+    from ropes3d_tpu.simulation.lookup import RobotLookupManager
+
+    with open(Paths().ROBOT_LOOKUP_INFO) as f:
+        info = json.load(f)
+    assert len(info["lookups"]) == 1
+    # Re-get must reuse, not re-create.
+    lm = RobotLookupManager()
+    ang, dep = lm.get("640_480_color_16", CAM, 6, "SLU", max_poses=10000)
+    assert ang.shape[0] == 216
+
+
+def test_crop_cache(predict_root, synth):
+    from ropes3d_tpu.camera import Intrinsics
+    from ropes3d_tpu.simulation.crop_cache import Crop, applyCrop
+
+    c = Crop(CAM, Intrinsics("640_480_color_16"))
+    # Crops grow (weakly) with more links and stay inside the image.
+    for n in range(1, 7):
+        box = c[n]
+        assert 0 <= box[0] < box[1] <= 29
+        assert 0 <= box[2] < box[3] <= 39
+    img = np.arange(30 * 40).reshape(30, 40)
+    cropped = applyCrop(img, c[6])
+    assert cropped.shape == c.shape(6)
+
+
+def test_synthetic_closed_loop(synth):
+    """Predict back known poses; starved config must still land within a few
+    degrees on well-conditioned poses."""
+    poses = np.array(
+        [
+            [0.72, -0.30, -0.74, 0, 0, 0],
+            [1.23, -0.91, 1.55, 0, 0, 0],
+            [0.66, -0.01, 2.43, 0, 0, 0],
+        ]
+    )
+    errs = []
+    for p in poses:
+        actual, pred = synth.run(p)
+        errs.append(np.degrees(np.abs(pred - actual))[:3])
+    errs = np.array(errs)
+    assert np.median(errs) < 2.0, f"median SLU error too high:\n{errs}"
+    assert errs.min() < 1.0
+
+
+def test_search_state_persistence(synth):
+    """Search state (history/err_hist) must thread through stages."""
+    from ropes3d_tpu.prediction.engine import SearchState
+
+    s = SearchState.fresh()
+    assert s.history.shape == (5, 6)
+    assert float(s.lr[0]) == pytest.approx(0.1)
+
+
+def test_predictor_full_angle_sets(synth):
+    from ropes3d_tpu.prediction.stages import getStages, Descent
+
+    for angs in ("SL", "SLU", "SLUB", "SLURB"):
+        stages = getStages(angs)
+        assert stages is not None and len(stages) > 1
+    assert getStages("XYZ") is None
+    full = getStages("SLURB")
+    assert isinstance(full[-1], Descent)
