@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: render-and-match pose candidates per second per chip.
+
+Measures the full candidate evaluator — FK -> batched rasterize -> visual+
+depth error — at the production working resolution (1280_720_color / 8 =
+160x90, the predictor's default; reference predict_dataset.py:19), plus the
+end-to-end per-frame synthetic prediction p50.
+
+Baseline: the reference's render throughput model (robotpose/crop.py:122-123,
+GTX 1070-calibrated): 1 / (pixels * 1.2e-8 + 0.002) poses/s = ~460/s at
+160x90.  BASELINE.md north star: >=1000 candidates/s/chip.
+
+NOTE: the axon TPU tunnel caches identical executions — every timed
+iteration uses fresh candidate angles (see .claude/skills/verify/SKILL.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("ROPES3D_ROOT", os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.camera import Intrinsics
+    from ropes3d_tpu.ops.error import TargetBundle
+    from ropes3d_tpu.prediction.engine import CandidateEvaluator
+    from ropes3d_tpu.robot import URDFReader
+    from ropes3d_tpu.simulation.renderer import Renderer
+    from ropes3d_tpu.config import Paths
+
+    Paths().create()
+    cam = [0, -1.5, 0.75, 0, 0, 0]
+    base_intrin = "1280_720_color"
+    ds = 8
+    intr = Intrinsics(base_intrin)
+    intr.downscale(ds)
+
+    urdf = URDFReader()
+    engine = CandidateEvaluator(cam, intr, urdf=urdf)
+
+    # Synthetic target frame at a representative pose.
+    rend = Renderer(camera_pose=cam, camera_intrin=str(intr))
+    true_pose = np.array([0.4, 0.1, 0.6, 0, 0, 0])
+    rend.setJointAngles(true_pose)
+    depth, lid = rend.render_ids()
+    masks = np.stack([lid == i for i in range(6)])
+    target = TargetBundle(
+        jnp.asarray(masks),
+        jnp.asarray(masks * depth[None], jnp.float32),
+        jnp.asarray(masks.any((1, 2))),
+        jnp.asarray(depth, jnp.float32),
+    )
+
+    rng = np.random.default_rng(0)
+    lim = urdf.joint_limits
+    B = 1024
+
+    def fresh_batch():
+        return rng.uniform(lim[:, 0], lim[:, 1], (B, 6)).astype(np.float32)
+
+    # Warmup / compile.
+    engine.evaluate(fresh_batch(), target, 6)
+
+    n_iters = 8
+    batches = [fresh_batch() for _ in range(n_iters)]
+    t0 = time.perf_counter()
+    outs = [engine.evaluate(b, target, 6) for b in batches]
+    dt = time.perf_counter() - t0
+    cand_per_s = B * n_iters / dt
+
+    # End-to-end per-frame estimate (SLU stages, synthetic target) if the
+    # lookup table exists or can be built quickly.
+    p50_ms = None
+    try:
+        from ropes3d_tpu.simulation.lookup import RobotLookupManager
+        from ropes3d_tpu.prediction.synthetic import SyntheticPredictor
+
+        lm = RobotLookupManager()
+        lm.get(str(intr), cam, 6, "SLU", divisions=np.array([24, 24, 24, 1, 1, 1]))
+        sp = SyntheticPredictor(cam, base_intrin, ds, "SLU", noise=False, seed=1)
+        sp.run()  # warmup/compile
+        times = []
+        frame_errs = []
+        for _ in range(8):
+            pose = sp._generatePose()
+            t0 = time.perf_counter()
+            actual, pred = sp.run(pose)
+            times.append(1e3 * (time.perf_counter() - t0))
+            frame_errs.append(np.degrees(np.abs(pred - actual))[:3])
+        p50_ms = float(np.percentile(times, 50))
+        med_err_deg = float(np.median(frame_errs))
+    except Exception as e:  # keep the headline metric robust
+        med_err_deg = None
+        print(f"# e2e stage skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    baseline = 1.0 / (intr.size * 1.2e-8 + 0.002)
+    result = {
+        "metric": "render_and_match_candidates_per_sec_per_chip",
+        "value": round(cand_per_s, 1),
+        "unit": "candidates/s",
+        "vs_baseline": round(cand_per_s / baseline, 2),
+        "extra": {
+            "resolution": f"{intr.width}x{intr.height}",
+            "batch": B,
+            "baseline_model_per_s": round(baseline, 1),
+            "e2e_p50_ms_per_frame": p50_ms,
+            "e2e_median_err_deg": med_err_deg,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -374,30 +374,23 @@ class CandidateEvaluator:
         )
         in_limits = limits[0, 0] <= temp[0] <= limits[0, 1]
 
-        cands = [angles]
-        if in_limits:
-            cands.append(temp.copy())
-        endpoint_cand = None
-        if not in_limits or close_to_limits:
-            for endpoint in limits[0]:
-                e = temp.copy()
-                e[0] = endpoint
-                cands.append(e)
-            endpoint_cand = cands[-1]  # upper endpoint; see note below
-        errs = self.evaluate(np.stack(cands), target, stage.to_render)
+        # Fixed-shape batch of 4 (base, flip, lower-endpoint, upper-endpoint)
+        # so one compiled executable serves every branch combination;
+        # irrelevant rows are ignored on the host side.
+        lower, upper = temp.copy(), temp.copy()
+        lower[0], upper[0] = limits[0, 0], limits[0, 1]
+        errs = self.evaluate(
+            np.stack([angles, temp, lower, upper]), target, stage.to_render
+        )
 
         base_err = errs[0]
         new_angles = angles
-        i = 1
-        if in_limits:
-            if errs[i] < base_err:
-                new_angles = temp
-                base_err = errs[i]
-            i += 1
-        if endpoint_cand is not None:
+        if in_limits and errs[1] < base_err:
+            new_angles = temp
+            base_err = errs[1]
+        if not in_limits or close_to_limits:
             # Reference parity (predict.py:268-277): only the *last* endpoint's
             # error survives the loop, so only the upper endpoint can win.
-            last_err = errs[i + 1]
-            if last_err < base_err:
-                new_angles = endpoint_cand
+            if errs[3] < base_err:
+                new_angles = upper
         return state._replace(angles=jnp.asarray(new_angles, jnp.float32))
