@@ -1,0 +1,142 @@
+"""Mask R-CNN component and training tests (tiny config, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ropes3d_tpu.models import MaskRCNN, MaskRCNNConfig
+from ropes3d_tpu.models.boxes import (
+    box_iou,
+    decode_boxes,
+    encode_boxes,
+    generate_anchors,
+    nms_fixed,
+)
+from ropes3d_tpu.models.roi import bilinear_sample, roi_align
+
+
+def test_box_encode_decode_roundtrip():
+    rng = np.random.default_rng(0)
+    anchors = jnp.asarray(rng.uniform(0, 100, (32, 4)).astype(np.float32))
+    anchors = jnp.concatenate(
+        [jnp.minimum(anchors[:, :2], anchors[:, 2:]),
+         jnp.maximum(anchors[:, :2], anchors[:, 2:]) + 5], -1
+    )
+    boxes = anchors + 3.0
+    deltas = encode_boxes(boxes, anchors)
+    rec = decode_boxes(deltas, anchors)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(boxes), atol=1e-3)
+
+
+def test_box_iou():
+    a = jnp.array([[0, 0, 10, 10]], jnp.float32)
+    b = jnp.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], jnp.float32)
+    iou = np.asarray(box_iou(a, b))[0]
+    np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], atol=1e-6)
+
+
+def test_nms_fixed_suppresses_overlaps():
+    boxes = jnp.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32
+    )
+    scores = jnp.array([0.9, 0.8, 0.7])
+    sel = np.asarray(nms_fixed(boxes, scores, 2, iou_thresh=0.5))
+    assert sel[0] == 0 and sel[1] == 2  # overlapping box 1 suppressed
+
+
+def test_anchors_cover_levels():
+    a = generate_anchors([(8, 8), (4, 4)], [4, 8], [16, 32])
+    assert a.shape == (8 * 8 * 3 + 4 * 4 * 3, 4)
+    # Center of first anchor at (2, 2) (stride 4, offset .5).
+    np.testing.assert_allclose((a[0, 0] + a[0, 2]) / 2, 2.0, atol=1e-5)
+
+
+def test_bilinear_sample_exact_at_integers():
+    feat = jnp.arange(16.0).reshape(4, 4, 1)
+    v = bilinear_sample(feat, jnp.array([1.0, 2.5]), jnp.array([2.0, 0.5]))
+    assert float(v[0, 0]) == 6.0
+    assert float(v[1, 0]) == pytest.approx((8 + 9 + 12 + 13) / 4 * 1.0, abs=1e-5)
+
+
+def test_roi_align_constant_region():
+    feat = jnp.ones((16, 16, 2)) * 3.0
+    out = roi_align(feat, jnp.array([[2.0, 2.0, 10.0, 10.0]]), 1, 4)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = MaskRCNNConfig.tiny()
+    model = MaskRCNN(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((*cfg.image_hw, 3)))
+    return cfg, model, variables
+
+
+def test_forward_shapes(tiny_model):
+    cfg, model, variables = tiny_model
+    out = model.apply(variables, jnp.zeros((*cfg.image_hw, 3)))
+    D = cfg.max_detections
+    assert out["boxes"].shape == (D, 4)
+    assert out["masks"].shape == (D, cfg.mask_roi_size * 2, cfg.mask_roi_size * 2)
+    assert out["classes"].shape == (D,)
+
+
+def test_loss_finite_and_decreases(tiny_model):
+    cfg, model, variables = tiny_model
+    import optax
+
+    h, w = cfg.image_hw
+    img = jnp.zeros((h, w, 3)).at[16:44, 16:44, :].set(1.0)
+    gt_boxes = jnp.array([[16, 16, 44, 44], [0, 0, 0, 0]], jnp.float32)
+    gt_cls = jnp.array([2, 0])
+    gt_masks = jnp.zeros((2, h, w)).at[0, 16:44, 16:44].set(1.0)
+    rng = jax.random.PRNGKey(1)
+
+    from ropes3d_tpu.training.train_loop import default_optimizer
+
+    tx = default_optimizer(0.01)
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss(p):
+            out = model.apply(
+                {"params": p, "batch_stats": variables.get("batch_stats", {})},
+                img, gt_boxes, gt_cls, gt_masks, rng, method=model.loss,
+            )
+            return out["total"]
+
+        l, g = jax.value_and_grad(loss)(params)
+        updates, opt_state2 = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, l
+
+    losses = []
+    for _ in range(6):
+        params, opt_state, l = step(params, opt_state)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_model_registry(tmp_path, monkeypatch):
+    import os
+
+    monkeypatch.setenv("ROPES3D_ROOT", str(tmp_path))
+    (tmp_path / "data").mkdir()
+    from ropes3d_tpu.training.model_registry import ModelManager
+
+    mm = ModelManager()
+    d1 = mm.allocateNew("setA", ["BG", "l1"], train_size=100)
+    d2 = mm.allocateNew("setA", ["BG", "l1"], train_size=300)
+    d3 = mm.allocateNew("setB", ["BG", "l1"], train_size=300)
+    # Fake checkpoints.
+    for d, epochs in ((d1, [1, 2]), (d2, [5]), (d3, [7])):
+        for e in epochs:
+            os.makedirs(os.path.join(d, f"ckpt_{e:04d}"))
+    assert mm.dynamicLoad(dataset="setB").endswith("ckpt_0007")
+    assert mm.dynamicLoad(dataset="setA", closest_train_size=120).endswith("ckpt_0002")
+    assert mm.dynamicLoad(dataset="setA", above_train_size=200).endswith("ckpt_0005")
+    assert mm.dynamicLoad(dataset="setC") is None
