@@ -26,6 +26,17 @@ _LAZY = {
     "JointDistance": "ropes3d_tpu.prediction.analysis",
     "LiveCamera": "ropes3d_tpu.prediction.feed",
     "JSONCoupling": "ropes3d_tpu.prediction.coupling",
+    "CameraPredictor": "ropes3d_tpu.prediction.camera_pose",
+    "ModellessCameraPredictor": "ropes3d_tpu.prediction.camera_pose",
+    "SpiralRenderer": "ropes3d_tpu.prediction.camera_pose",
+    "Aligner": "ropes3d_tpu.simulation.aligner",
+    "Verifier": "ropes3d_tpu.data.verification",
+    "Builder": "ropes3d_tpu.data.building",
+    "Splitter": "ropes3d_tpu.data.annotation",
+    "Planner": "ropes3d_tpu.training.planning",
+    "ModelManager": "ropes3d_tpu.training.model_registry",
+    "ProjectionViz": "ropes3d_tpu.prediction.viz",
+    "MeshViewer": "ropes3d_tpu.cli.wizard",
     "Dataset": "ropes3d_tpu.data.dataset",
     "DatasetInfo": "ropes3d_tpu.data.dataset",
     "AutomaticAnnotator": "ropes3d_tpu.data.annotation",

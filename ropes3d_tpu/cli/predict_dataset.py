@@ -1,0 +1,64 @@
+"""Batch pose estimation over a recorded dataset.
+
+Parity port of reference ``predict_dataset.py:17-64``: predicts every frame
+(chunked), saves ``predictions_<ds>.npy``, prints per-joint error stats and
+plots against the recorded angles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def run(dataset: str, angs: str = "SLU", ds_factor: int = 8,
+        chunk: int = 200, plot: bool = True, limit: int = None) -> np.ndarray:
+    from ..data.dataset import Dataset
+    from ..prediction.analysis import Grapher
+    from ..prediction.predictor import Predictor
+
+    ds = Dataset(dataset)
+    pred = Predictor(
+        camera_pose=ds.camera_pose[0],
+        ds_factor=ds_factor,
+        do_angles=angs,
+        base_intrin=ds.attrs["color_intrinsics"],
+        model_ds=dataset,
+    )
+    n = min(len(ds), limit) if limit else len(ds)
+    out = np.zeros((n, 6))
+    t0 = time.time()
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        for i in range(start, end):
+            out[i] = pred.run(
+                np.asarray(ds.og_img[i]),
+                np.asarray(ds.depthmaps[i]),
+                np.asarray(ds.camera_pose[i]),
+            )
+        np.save(f"predictions_{dataset}.npy", out)
+        done = end
+        rate = done / (time.time() - t0)
+        print(f"{done}/{n} frames ({rate:.2f} fps)")
+    np.save(f"predictions_{dataset}.npy", out)
+    if plot:
+        Grapher(angs, out[:n], np.asarray(ds.angles[:n])).plot()
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("dataset", help="Dataset to predict")
+    p.add_argument("-angs", default="SLU", help="Joints to predict")
+    p.add_argument("-ds_factor", type=int, default=8)
+    p.add_argument("-limit", type=int, default=None)
+    p.add_argument("-no_plot", action="store_true")
+    a = p.parse_args()
+    run(a.dataset, a.angs, a.ds_factor, plot=not a.no_plot, limit=a.limit)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Live prediction loop (reference ``predict_live.py:96-183``).
+
+Busy-polls the robot's reported ``joint_states`` through JSONCoupling,
+captures RGBD frames, predicts, and gauges the TCP deviation between the
+claimed and predicted pose.  A ``--feed dataset:<name>`` option replays a
+recorded dataset instead of requiring RealSense hardware.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+RAD_DEVIATION_WARN = 0.1
+RAD_DEVIATION_ALARM = 0.2
+
+
+class Live:
+    def __init__(
+        self,
+        base_intrin: str = "1280_720_color",
+        model_ds: str = "set91",
+        do_angles: str = "SLU",
+        ds_factor: int = 8,
+        feed: str = None,
+        coupling_path: str = None,
+        camera_pose=None,
+    ):
+        from ..config import DEFAULT_CAMERA_POSE
+        from ..prediction.coupling import JSONCoupling
+        from ..prediction.feed import DatasetFeed, LiveCamera
+        from ..prediction.predictor import Predictor
+        from ..prediction.analysis import JointDistance
+
+        self.use_dataset = feed is not None and feed.startswith("dataset:")
+        if self.use_dataset:
+            self.cam = DatasetFeed(feed.split(":", 1)[1])
+            ds = self.cam.ds
+            camera_pose = camera_pose if camera_pose is not None else ds.camera_pose[0]
+            base_intrin = ds.attrs["color_intrinsics"]
+        else:
+            self.cam = LiveCamera()
+            camera_pose = camera_pose if camera_pose is not None else DEFAULT_CAMERA_POSE
+        self.link = None if self.use_dataset else JSONCoupling(coupling_path)
+        self.pred = Predictor(
+            camera_pose=np.asarray(camera_pose),
+            ds_factor=ds_factor,
+            do_angles=do_angles,
+            base_intrin=base_intrin,
+            model_ds=model_ds,
+        )
+        self.dist = JointDistance()
+        self.preds = []
+
+    def run(self, max_frames: int = None) -> None:
+        self.cam.start()
+        n = 0
+        try:
+            while max_frames is None or n < max_frames:
+                if self.link is not None:
+                    claimed = np.array(self.link.get_pose())
+                color, depth = self.cam.get()
+                if self.use_dataset:
+                    claimed = self.cam.angles
+                predicted = self.pred.run(color, depth)
+                if self.link is not None:
+                    self.link.reset()
+                dev = np.abs(predicted - claimed)
+                tcp_mm = float(self.dist.single(predicted, claimed)) * 1000
+                state = (
+                    "ALARM" if np.any(dev > RAD_DEVIATION_ALARM)
+                    else "WARN" if np.any(dev > RAD_DEVIATION_WARN)
+                    else "ok"
+                )
+                print(
+                    f"[{state}] pred={np.round(predicted, 3)} "
+                    f"claimed={np.round(claimed, 3)} tcp={tcp_mm:.1f}mm"
+                )
+                self.preds.append([claimed, predicted])
+                np.save("live_preds.npy", np.array(self.preds).transpose(1, 0, 2))
+                n += 1
+        finally:
+            self.cam.stop()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-intrin", default="1280_720_color")
+    p.add_argument("-model_ds", default="set91")
+    p.add_argument("-angs", default="SLU")
+    p.add_argument("-ds_factor", type=int, default=8)
+    p.add_argument("-feed", default=None, help="e.g. dataset:<name> to replay")
+    p.add_argument("-frames", type=int, default=None)
+    a = p.parse_args()
+    Live(a.intrin, a.model_ds, a.angs, a.ds_factor, a.feed).run(a.frames)
+
+
+if __name__ == "__main__":
+    main()

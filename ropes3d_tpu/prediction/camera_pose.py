@@ -1,0 +1,476 @@
+"""Camera extrinsics estimation (the inverse problem).
+
+Re-implementation of ``robotpose/prediction/camera_pose_prediction.py``:
+given frames with *known* robot joint angles, find the camera pose.  The
+TPU design batches over candidate *camera poses*: robot link poses per frame
+are fixed (FK once), and each candidate contributes a different
+world-to-camera matrix, so ``eval(camera_poses[C, 6]) -> err[C]`` renders
+all (candidate, frame) pairs in one device dispatch.
+
+Two flavors, with the reference's stage recipes and hyperparameters:
+- ``ModellessCameraPredictor`` — depth-only error (camera_pose_prediction.py
+  :389-427): sqrt-domain, mean * -std, 1.1**err, mean over frames; plus the
+  ``SpiralRenderer`` global spiral-shell search (:434-497).
+- ``CameraPredictor`` — segmentation-based multi-frame error (:964-970
+  variant: per-link mask+sqrt-depth terms, squared accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CAMERA_POSE
+from ..camera import Intrinsics
+from ..camera.pose import make_pose
+from ..ops.interp import cubic_spline_uniform
+from ..ops.image import downsample
+from ..ops.rasterizer import render_batch
+from ..robot import MeshLoader, URDFReader
+from ..robot.kinematics import make_fk
+
+
+def w2c_from_pose_jnp(pose6: jnp.ndarray) -> jnp.ndarray:
+    """Camera pose 6-vector -> world-to-camera 4x4, traced (jnp)."""
+    c2w = make_pose(
+        pose6[0], pose6[1], pose6[2], pose6[3], pose6[4] + jnp.pi / 2, pose6[5],
+        xp=jnp,
+    )
+    R = c2w[:3, :3]
+    t = c2w[:3, 3]
+    w2c = jnp.eye(4, dtype=c2w.dtype)
+    w2c = w2c.at[:3, :3].set(R.T)
+    return w2c.at[:3, 3].set(-R.T @ t)
+
+
+class CameraPoseEngine:
+    """Batched (camera candidate x frame) renderer + error evaluators."""
+
+    def __init__(self, intrinsics: Intrinsics, urdf: URDFReader = None,
+                 max_tris_per_link: int = 256):
+        self.u_reader = urdf or URDFReader()
+        self.intrinsics = intrinsics
+        self.h, self.w = intrinsics.height, intrinsics.width
+        self._intrin_vec = jnp.array(
+            [intrinsics.f[0], intrinsics.f[1], intrinsics.pp[0], intrinsics.pp[1]],
+            jnp.float32,
+        )
+        loader = MeshLoader(max_tris_per_link=max_tris_per_link, urdf=self.u_reader)
+        v, ids, valid = loader.scene.flat()
+        self._verts = jnp.asarray(v)
+        self._ids = jnp.asarray(ids)
+        self._valid = jnp.asarray(valid)
+        self.num_links = loader.scene.num_links
+        self._fk = jax.jit(make_fk(self.u_reader))
+        self.link_names = self.u_reader.mesh_names[:6]
+
+    def set_robot_poses(self, robot_poses: np.ndarray) -> None:
+        """FK for the F known robot poses (fixed for the whole search)."""
+        self.link_poses = jnp.asarray(
+            self._fk(np.asarray(robot_poses, np.float32))[:, : self.num_links]
+        )  # [F, L, 4, 4]
+        self.F = self.link_poses.shape[0]
+
+    # ------------------------------------------------------------ rendering
+    def _render_cf(self, cam_poses: jnp.ndarray):
+        """Render all (candidate, frame) pairs: -> depth/lid [C, F, H, W]."""
+        link_mask = jnp.ones(self.num_links, bool)
+
+        def per_cand(pose6):
+            w2c = w2c_from_pose_jnp(pose6)
+            return render_batch(
+                self.link_poses, link_mask, self._verts, self._ids, self._valid,
+                w2c, self._intrin_vec, self.h, self.w,
+            )
+
+        return jax.vmap(per_cand)(cam_poses)
+
+    # ------------------------------------------------------------ errors
+    @functools.partial(jax.jit, static_argnums=0)
+    def modeless_errors(self, cam_poses: jnp.ndarray, tgt_depths: jnp.ndarray):
+        """Depth-only error per candidate (cam_pose_prediction.py:389-427)."""
+        depth, _ = self._render_cf(cam_poses)
+        diff = jnp.abs(jnp.sqrt(tgt_depths)[None] - jnp.sqrt(depth))
+        err = jnp.mean(diff, (2, 3)) * -jnp.std(diff, (2, 3))  # [C, F]
+        return jnp.mean(1.1**err, axis=1)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def seg_errors(
+        self,
+        cam_poses: jnp.ndarray,
+        tgt_depths: jnp.ndarray,  # [F, H, W]
+        masks: jnp.ndarray,  # [F, 6, H, W] bool
+        masked_depths: jnp.ndarray,  # [F, 6, H, W]
+        present: jnp.ndarray,  # [F, 6] bool
+    ):
+        """Segmentation-based multi-frame error (:964-970): per-frame sum of
+        per-link mask-diff + sqrt-domain masked-depth terms + unmatched
+        term with std over nonzeros; squared accumulation over frames."""
+        depth, lid = self._render_cf(cam_poses)  # [C, F, H, W]
+
+        def per_cf(d, l, tgt, m, md, pres):
+            def per_link(li):
+                joint_mask = m[li]
+                render_mask = l == li
+                e = jnp.mean(joint_mask != render_mask)
+                target_masked = md[li]
+                render_masked = d * render_mask
+                enough = jnp.sum(target_masked != 0) > 0.05 * jnp.sum(joint_mask)
+                adiff = jnp.sqrt(jnp.abs(target_masked - render_masked))
+                nz = adiff != 0
+                cnt = jnp.sum(nz)
+                mean_nz = jnp.where(
+                    cnt > 0, jnp.sum(jnp.where(nz, adiff, 0.0)) / jnp.maximum(cnt, 1), 0.0
+                )
+                return jnp.where(pres[li], e + jnp.where(enough, mean_nz, 0.0), 0.0)
+
+            err = jnp.sum(jax.vmap(per_link)(jnp.arange(6)))
+            diff = jnp.sqrt(jnp.abs(tgt - d))
+            nz = diff != 0
+            cnt = jnp.sum(nz)
+            vals = jnp.where(nz, diff, 0.0)
+            mean_nz = jnp.sum(vals) / jnp.maximum(cnt, 1)
+            # std over nonzero elements only
+            var = jnp.sum(jnp.where(nz, (diff - mean_nz) ** 2, 0.0)) / jnp.maximum(cnt, 1)
+            err += jnp.where(cnt > 0, mean_nz * -jnp.sqrt(var), 0.0)
+            return err**2
+
+        def per_cand(d, l):
+            return jnp.sum(
+                jax.vmap(per_cf)(d, l, tgt_depths, masks, masked_depths, present)
+            )
+
+        return jax.vmap(per_cand)(depth, lid)
+
+
+class _BaseCameraPredictor:
+    """Shared staged-search loop over camera-pose space."""
+
+    def __init__(
+        self,
+        base_pose=DEFAULT_CAMERA_POSE,
+        ds_factor: int = 8,
+        preview: bool = False,
+        save_to: str = None,
+        min_angle_inc=np.array([0.001, 0.001, 0.001, 0.002, 0.002, 0.002]),
+        history_length: int = 5,
+        base_intrinsics: str = "1280_720_color",
+    ):
+        self.base_pose = np.array(base_pose, float)
+        self.ds_factor = ds_factor
+        self.preview = preview
+        self.min_ang_inc = np.asarray(min_angle_inc, float)
+        self.history_length = history_length
+        intr = Intrinsics(base_intrinsics)
+        intr.downscale(ds_factor)
+        self.engine = CameraPoseEngine(intr)
+        self.u_reader = self.engine.u_reader
+        self.link_names = self.engine.link_names
+
+    # Subclasses set self._eval(poses[C,6]) -> np err[C].
+    def _eval(self, poses: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def _batch_downsample(self, base: np.ndarray, factor: int) -> np.ndarray:
+        return np.stack(
+            [np.asarray(downsample(jnp.asarray(b), factor)) for b in base]
+        )
+
+    def _search(self, pose: np.ndarray, stages: Sequence) -> np.ndarray:
+        """The staged optimizer loop (cam_pose_prediction.py:171-373)."""
+        lr = np.zeros(6)
+        history = np.zeros((self.history_length, 6))
+        err_history = np.zeros(self.history_length)
+
+        for stage in stages:
+            kind = stage[0]
+            if kind == "descent":
+                _, its, redux, early_stop, do_param, init_rate = stage
+                for i in range(6):
+                    if init_rate[i] is not None:
+                        lr[i] = init_rate[i]
+                do_param = np.array(do_param)
+                for _ in range(its):
+                    for idx in np.where(do_param)[0]:
+                        if abs(np.mean(history, 0)[idx] - pose[idx]) <= lr[idx]:
+                            lr[idx] *= redux
+                        lr = np.max((lr, self.min_ang_inc), 0)
+                        under = pose.copy(); under[idx] -= lr[idx]
+                        over = pose.copy(); over[idx] += lr[idx]
+                        errs = self._eval(np.stack([under, over]))
+                        if errs[1] < errs[0]:
+                            pose[idx] += lr[idx]
+                        elif errs[1] > errs[0]:
+                            pose[idx] -= lr[idx]
+                    history = np.vstack([pose, history[:-1]])
+                    err_history = np.concatenate([[min(errs)], err_history[:-1]])
+                    e0 = err_history[0]
+                    if e0 and abs(np.mean(err_history) - e0) / e0 < early_stop:
+                        break
+                    rng_ = history.max(0) - history.min(0)
+                    if ((rng_ <= self.min_ang_inc) | np.isclose(rng_, self.min_ang_inc)).all():
+                        break
+                    if (history[:3] == history[0]).all():
+                        break
+
+            elif kind == "smartsweep":
+                _, div, rng_half, do_param = stage
+                base_err = self._eval(pose[None])[0]
+                for idx in np.where(np.array(do_param))[0]:
+                    # Reference parity: the window is [pose - range, pose]
+                    # (temp_high = temp_low + range where temp_low was
+                    # already shifted; cam_pose_prediction.py:250-251, 780-781).
+                    lo = pose[idx] - rng_half
+                    hi = pose[idx]
+                    space = np.tile(pose, (div, 1))
+                    space[:, idx] = np.linspace(lo, hi, div)
+                    space_err = self._eval(space)
+                    x = np.linspace(lo, hi, div * 5)
+                    pred = np.asarray(
+                        cubic_spline_uniform(lo, hi, jnp.asarray(space_err), jnp.asarray(x))
+                    )
+                    cand = pose.copy()
+                    cand[idx] = x[pred.argmin()]
+                    pred_err = self._eval(cand[None])[0]
+                    errs = [base_err, space_err.min(), pred_err]
+                    min_type = int(np.argmin(errs))
+                    if min_type == 1:
+                        pose = space[space_err.argmin()]
+                        err_history = np.concatenate([[space_err.min()], err_history[:-1]])
+                    elif min_type == 2:
+                        pose = cand
+                        err_history = np.concatenate([[pred_err], err_history[:-1]])
+                    history = np.vstack([pose, history[:-1]])
+
+            elif kind == "tensorsweep":
+                _, div, rng_half, do_param = stage
+                for idx in np.where(np.array(do_param))[0]:
+                    space = np.tile(pose, (div, 1))
+                    space[:, idx] = np.linspace(pose[idx] - rng_half, pose[idx] + rng_half, div)
+                    errs = self._eval(space)
+                    pose = space[errs.argmin()]
+
+            elif kind == "zp_sweep":
+                # Coupled z-pitch constraint: same view focus while sliding z
+                # (cam_pose_prediction.py:318-345).
+                _, div, rng_half = stage
+                space = np.tile(pose, (div, 1))
+                space[:, 2] = np.linspace(pose[2] - rng_half, pose[2] + rng_half, div)
+                space[:, 4] = np.arctan(
+                    np.tan(pose[4])
+                    - (space[:, 2] - pose[2]) / np.sqrt(pose[0] ** 2 + pose[1] ** 2)
+                )
+                errs = self._eval(space)
+                pose = space[errs.argmin()]
+
+            elif kind == "xya_sweep":
+                # Coupled x-yaw constraint (cam_pose_prediction.py:347-371).
+                _, div, rng_half = stage
+                space = np.tile(pose, (div, 1))
+                space[:, 0] = np.linspace(pose[0] - rng_half, pose[0] + rng_half, div)
+                space[:, 5] = -np.arctan(
+                    ((space[:, 0] - pose[0]) / pose[0]) * np.tan(pose[5])
+                )
+                errs = self._eval(space)
+                pose = space[errs.argmin()]
+
+            elif kind == "spiral":
+                pose = SpiralRenderer(self._eval).run()
+
+        return pose
+
+
+class ModellessCameraPredictor(_BaseCameraPredictor):
+    """Depth-only camera-pose search (cam_pose_prediction.py:28-431)."""
+
+    def _setStages(self):
+        wide_tensorsweep_xyz = ["tensorsweep", 20, 0.2, [True, True, True, False, False, False]]
+        wide_tensorsweep_rpy = ["tensorsweep", 20, 0.1, [False, False, False, True, True, True]]
+        fine_descent = ["descent", 50, 0.5, 0.001, [True] * 6, [0.01] * 6]
+        zp_sweep = ["zp_sweep", 20, 0.1]
+        p_fix = ["smartsweep", 20, 0.03, [False, False, False, False, True, False]]
+        xyya_narrow = ["smartsweep", 20, 0.15, [True, True, False, False, False, True]]
+        quick_descent = ["descent", 15, 0.5, 0.001, [True] * 6, [0] * 6]
+        combo = [zp_sweep, p_fix, xyya_narrow] * 2
+        coarse = []
+        for x in np.logspace(1, 0.05, 5) / 30:
+            coarse.append(["tensorsweep", 20, x, [True, True, True, False, False, False]])
+            coarse.append(["tensorsweep", 20, x / 2, [False, False, False, True, True, True]])
+        self.stages = [
+            *coarse, wide_tensorsweep_xyz, wide_tensorsweep_rpy, fine_descent,
+            *combo, quick_descent, quick_descent,
+        ]
+
+    def run(self, og_images, target_depths, robot_poses, starting_camera_pose=None):
+        og_images = np.atleast_3d(np.asarray(og_images))
+        if og_images.ndim == 3:
+            og_images = og_images[None]
+            target_depths = np.asarray(target_depths)[None]
+            robot_poses = np.asarray(robot_poses)[None]
+        target_depths = np.asarray(target_depths, float)
+        self.engine.set_robot_poses(np.asarray(robot_poses))
+        self._tgt = jnp.asarray(
+            self._batch_downsample(target_depths, self.ds_factor), jnp.float32
+        )
+        pose = np.copy(self.base_pose) if starting_camera_pose is None else np.array(
+            starting_camera_pose, float
+        )
+        self._setStages()
+        return self._search(pose, self.stages)
+
+    def _eval(self, poses: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self.engine.modeless_errors(jnp.asarray(poses, jnp.float32), self._tgt)
+        )
+
+    def error_at(self, pose) -> float:
+        return float(self._eval(np.asarray(pose, float)[None])[0])
+
+
+class CameraPredictor(_BaseCameraPredictor):
+    """Segmentation-based camera-pose search (cam_pose_prediction.py:576-977).
+
+    ``color_dict`` enables the synthetic branch (masks recovered from render
+    colors) exactly like the Predictor; otherwise a trained Segmenter is
+    loaded via ModelManager.
+    """
+
+    def __init__(self, *args, model_ds: str = None, color_dict: dict = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.color_dict = color_dict
+        if color_dict is None:
+            from ..training.model_registry import ModelManager
+            from ..models.inference import Segmenter
+
+            mm = ModelManager()
+            ckpt = mm.dynamicLoad(**({"dataset": model_ds} if model_ds else {}))
+            if ckpt is None:
+                raise FileNotFoundError(
+                    "No trained segmentation model found; pass color_dict for "
+                    "synthetic input or train a model first."
+                )
+            self.seg = Segmenter(ckpt, ["BG"] + self.link_names)
+
+    def _setStages(self):
+        wide_tensorsweep_xyz = ["tensorsweep", 20, 0.2, [True, True, True, False, False, False]]
+        wide_tensorsweep_rpy = ["tensorsweep", 20, 0.1, [False, False, False, True, True, True]]
+        fine_descent = ["descent", 50, 0.5, 0.001, [True] * 6, [0.01] * 6]
+        zp_sweep = ["zp_sweep", 20, 0.1]
+        p_fix = ["smartsweep", 20, 0.03, [False, False, False, False, True, False]]
+        xyya_narrow = ["smartsweep", 5, 0.025, [True, True, False, False, False, True]]
+        quick_descent = ["descent", 15, 0.5, 0.001, [True] * 6, [0] * 6]
+        combo = [zp_sweep, p_fix, xyya_narrow, xyya_narrow] * 2
+        coarse = []
+        for x in np.linspace(0.25, 0.025, 10):
+            coarse.append(["smartsweep", 6, x, [True, True, True, False, False, False]])
+            coarse.append(["smartsweep", 6, x / 2, [False, False, False, True, True, True]])
+        self.stages = [
+            *coarse, wide_tensorsweep_xyz, wide_tensorsweep_rpy, fine_descent,
+            *combo, quick_descent,
+        ]
+
+    def run(self, og_images, target_depths, robot_poses, starting_camera_pose=None):
+        og_images = np.asarray(og_images)
+        if og_images.ndim == 3:
+            og_images = og_images[None]
+            target_depths = np.asarray(target_depths)[None]
+            robot_poses = np.asarray(robot_poses)[None]
+        target_depths = np.asarray(target_depths, float)
+        self.engine.set_robot_poses(np.asarray(robot_poses))
+        tgt_ds = self._batch_downsample(target_depths, self.ds_factor)
+        img_ds = self._batch_downsample(og_images, self.ds_factor)
+
+        F, h, w = tgt_ds.shape
+        masks = np.zeros((F, 6, h, w), bool)
+        masked = np.zeros((F, 6, h, w), np.float32)
+        present = np.zeros((F, 6), bool)
+        for f in range(F):
+            if self.color_dict is not None:
+                img = img_ds[f].round().astype(np.uint8)
+                for li, link in enumerate(self.link_names):
+                    m = img[..., 0] == self.color_dict[link][0]
+                    if m.sum():
+                        masks[f, li] = m
+                        masked[f, li] = m * tgt_ds[f]
+                        present[f, li] = True
+            else:
+                seg_data, _ = self.seg.segment(img_ds[f].astype(np.uint8))
+                for li, link in enumerate(self.link_names):
+                    if link in seg_data:
+                        masks[f, li] = seg_data[link]["mask"]
+                        masked[f, li] = masks[f, li] * tgt_ds[f]
+                        present[f, li] = True
+
+        self._targets = (
+            jnp.asarray(tgt_ds, jnp.float32),
+            jnp.asarray(masks),
+            jnp.asarray(masked),
+            jnp.asarray(present),
+        )
+        pose = np.copy(self.base_pose) if starting_camera_pose is None else np.array(
+            starting_camera_pose, float
+        )
+        self._setStages()
+        return self._search(pose, self.stages)
+
+    def _eval(self, poses: np.ndarray) -> np.ndarray:
+        t, m, md, pr = self._targets
+        return np.asarray(
+            self.engine.seg_errors(jnp.asarray(poses, jnp.float32), t, m, md, pr)
+        )
+
+    def error_at(self, pose) -> float:
+        return float(self._eval(np.asarray(pose, float)[None])[0])
+
+
+class SpiralRenderer:
+    """Global spiral-shell camera-position search (cam_pose_prediction.py:
+    434-497): ~19k candidate positions on nested cylinders facing inward,
+    evaluated in large device batches."""
+
+    def __init__(
+        self,
+        eval_fn,
+        batch: int = 512,
+        r_limits=(1, 3),
+        shells: int = 25,
+        per_round: int = 75,
+        z_limits=(0, 1),
+        turns: int = 10,
+    ):
+        self.eval_fn = eval_fn
+        self.batch = batch
+        self.r_min, self.r_max = min(r_limits), max(r_limits)
+        self.shells = shells
+        self.per_round = per_round
+        self.z_min, self.z_max = min(z_limits), max(z_limits)
+        self.turns = turns
+
+    def candidates(self) -> np.ndarray:
+        n = self.turns * self.per_round
+        base = np.zeros((n, 6))
+        ang = np.tile(np.linspace(0, 2 * np.pi, self.per_round), self.turns)
+        base[:, 5] = 2 * np.pi - ang
+        base[:, 0] = -np.sin(ang)
+        base[:, 1] = -np.cos(ang)
+        base[:, 2] = np.linspace(self.z_min, self.z_max, n)
+        full = np.tile(base, (self.shells, 1))
+        r = np.repeat(np.linspace(self.r_min, self.r_max, self.shells), n)
+        full[:, 0] *= r
+        full[:, 1] *= r
+        return full
+
+    def run(self) -> np.ndarray:
+        space = self.candidates()
+        errors = np.zeros(len(space))
+        for i in range(0, len(space), self.batch):
+            chunk = space[i : i + self.batch]
+            pad = self.batch - len(chunk)
+            if pad:
+                chunk = np.vstack([chunk, np.tile(chunk[-1:], (pad, 1))])
+            errors[i : i + self.batch - pad] = self.eval_fn(chunk)[: self.batch - pad]
+        return space[errors.argmin()]
