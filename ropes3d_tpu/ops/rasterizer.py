@@ -138,7 +138,12 @@ def triangle_setup(
     # vertex range; clamping at raster time suppresses sliver-triangle
     # extrapolation error at boundary pixels.
     qrange = jnp.stack([q.min(axis=1), q.max(axis=1)], axis=-1)  # [N, 2]
-    return coeffs, qrange, tri_ok
+    # Screen-row extent per triangle (for tile/chunk culling in the Pallas
+    # backend); dead triangles get an empty range.
+    vmin = jnp.where(tri_ok, v.min(axis=1), jnp.inf)
+    vmax = jnp.where(tri_ok, v.max(axis=1), -jnp.inf)
+    vrange = jnp.stack([vmin, vmax], axis=-1)  # [N, 2]
+    return coeffs, qrange, vrange, tri_ok
 
 
 def _pixel_matrix(h: int, w: int, row0, col0, dtype=jnp.float32) -> jnp.ndarray:
@@ -185,7 +190,8 @@ def rasterize(
         C, QR, L = inp
         # All 4 planes of the chunk in one contraction over pixel coords.
         E = jnp.einsum(
-            "nkc,cp->nkp", C, X, preferred_element_type=jnp.float32
+            "nkc,cp->nkp", C, X, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [chunk, 4, P]
         covered = jnp.all(E[:, :3, :] >= 0.0, axis=1)  # [chunk, P]
         q = jnp.clip(E[:, 3, :], QR[:, 0, None], QR[:, 1, None])
@@ -230,7 +236,7 @@ def render_batch(
     row0=0,
     col0=0,
     chunk: Optional[int] = None,
-    backend: str = "xla",
+    backend: str = "auto",
     group: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render B candidate poses: -> (depth [B, H, W], link_id [B, H, W]).
@@ -238,6 +244,8 @@ def render_batch(
     ``link_mask`` is a runtime mask, so every ``setMaxParts`` value of the
     reference (render.py:121-128) shares one compiled executable.
 
+    ``backend='auto'`` picks the fused Pallas kernel on TPU for batches
+    large enough to amortise its dispatch cost, else the pure-XLA path.
     Candidates are processed in vmapped groups via lax.map so the triangle x
     pixel intermediates stay within a fixed memory budget regardless of B
     (large sweeps pass thousands of candidates at once).
@@ -245,6 +253,10 @@ def render_batch(
     fx, fy, cx, cy = intrin[0], intrin[1], intrin[2], intrin[3]
     B = link_poses.shape[0]
     P = h * w
+
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        backend = "pallas" if on_tpu else "xla"
 
     if group is None:
         group = min(B, 8)
@@ -254,12 +266,13 @@ def render_batch(
     def one(poses):
         cam_verts = transform_vertices(scene_verts, scene_link_ids, poses, world_to_cam)
         valid = scene_valid & link_mask[scene_link_ids]
-        coeffs, qrange, _ = triangle_setup(cam_verts, valid, fx, fy, cx, cy)
+        coeffs, qrange, vrange, _ = triangle_setup(cam_verts, valid, fx, fy, cx, cy)
         if backend == "pallas":
             from .rasterizer_pallas import rasterize_pallas
 
             return rasterize_pallas(
-                coeffs, qrange, scene_link_ids.astype(jnp.int32), h, w, row0, col0
+                coeffs, qrange, vrange, scene_link_ids.astype(jnp.int32),
+                h, w, row0, col0,
             )
         return rasterize(
             coeffs, qrange, scene_link_ids, h, w, row0, col0, chunk=chunk
@@ -329,7 +342,10 @@ def rasterize_shaded(
 
     def body(kmax, inp):
         C, QR, M = inp
-        E = jnp.einsum("nkc,cp->nkp", C, X, preferred_element_type=jnp.float32)
+        E = jnp.einsum(
+            "nkc,cp->nkp", C, X, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         covered = jnp.all(E[:, :3, :] >= 0.0, axis=1)
         q = jnp.clip(E[:, 3, :], QR[:, 0, None], QR[:, 1, None])
         qv = jnp.where(covered & (q > 0), q, 0.0)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,7 +53,15 @@ class Predictor:
         base_intrin: str = "1280_720_color",
         model_ds: str = "set10",
         color_dict: Optional[dict] = None,
+        search_mode: str = "parity",
     ):
+        """``search_mode``: 'parity' (default) replays the reference's
+        sequential per-joint descent exactly; 'fast' batches each descent
+        iteration's joint probes into one eval with Jacobi updates (fewer,
+        larger device steps — useful at higher working resolutions where
+        per-render cost dominates over iteration count)."""
+        assert search_mode in ("fast", "parity")
+        self.search_mode = search_mode
         self.ds_factor, self.preview = ds_factor, preview
         self.do_angles = do_angles.upper()
         self.min_ang_inc = min_angle_inc
@@ -134,6 +143,64 @@ class Predictor:
             jnp.asarray(tgt_depth, jnp.float32),
         )
 
+    def _prepare_synthetic_device(self):
+        """Build the jitted device-resident synthetic target preparation.
+
+        Equivalent to downsample+color-equality mask recovery
+        (predict.py:445-469) but from the renderer's (depth, link_id) maps:
+        a downsampled pixel belongs to a link iff all sampled source pixels
+        do — exactly the exact-color-match-after-2x2-average criterion.
+        Keeps the whole frame on device (zero host transfers).
+        """
+        import functools as ft
+
+        from ..ops.image import downsample as ds
+
+        f = self.ds_factor
+        crop = [int(x) for x in self.crops[LOOKUP_NUM_RENDERED]]
+
+        from ..config import DEFAULT_RENDER_COLORS
+
+        # Reconstruct the blue channel from link ids so mask recovery is
+        # bit-identical to the reference's color-equality path — including
+        # its quirks (base blue 0 == background; 2x2-average collisions
+        # where blended colors round to another link's blue).
+        blues = jnp.asarray(
+            [0.0] + [float(c[0]) for c in DEFAULT_RENDER_COLORS[:6]], jnp.float32
+        )  # index 0 = background
+
+        @jax.jit
+        def prep(depth_full, lid_full):
+            depth = ds(depth_full, f)
+            blue_full = blues[lid_full + 1]
+            blue = jnp.round(ds(blue_full, f))
+
+            def link_mask(i):
+                return blue == jnp.round(blues[i + 1])
+
+            masks = jax.vmap(link_mask)(jnp.arange(6))
+            present = masks.any(axis=(1, 2))
+            lookup_sel = masks[:LOOKUP_NUM_RENDERED].any(axis=0)
+            lookup_depth = depth * lookup_sel
+            tgt_crop = lookup_depth[crop[0] : crop[1] + 1, crop[2] : crop[3] + 1]
+            bundle = TargetBundle(
+                masks, masks * depth[None], present, depth.astype(jnp.float32)
+            )
+            return bundle, tgt_crop.astype(jnp.float32)
+
+        return prep
+
+    def run_synthetic(self, depth_full, lid_full) -> np.ndarray:
+        """Device-to-device fast path: full-res (depth, link-id) render maps
+        in, joint angles out — one host transfer per frame."""
+        if not hasattr(self, "_synth_prep"):
+            self._synth_prep = self._prepare_synthetic_device()
+        with self.timer.stage("target_load"):
+            self._target, self._tgt_lookup_crop = self._synth_prep(
+                jnp.asarray(depth_full), jnp.asarray(lid_full)
+            )
+        return self._run_stages()
+
     def _loadSynthetic(self, target_color, target_depth):
         """Recover per-link masks from exact render colors
         (predict.py:445-469; matching on the unique blue channel)."""
@@ -214,6 +281,11 @@ class Predictor:
             self.viz.loadTargetColor(np.asarray(output))
             self.viz.loadTargetDepth(np.asarray(target_depth))
 
+        return self._run_stages()
+
+    def _run_stages(self) -> np.ndarray:
+        """Run the staged search; the only device->host transfer is the
+        final angles read-back (critical on remote-attached TPUs)."""
         self._setStages()
         state = SearchState.fresh(self.history_length)
         target = self._target
@@ -227,7 +299,9 @@ class Predictor:
                     )
                     state = state._replace(angles=angles)
                 elif isinstance(stage, Descent):
-                    state = self.engine.descent(state, target, stage)
+                    state = self.engine.descent(
+                        state, target, stage, jacobi=self.search_mode == "fast"
+                    )
                 elif isinstance(stage, SFlip):
                     state = self.engine.sflip(state, target, stage)
                 elif isinstance(stage, InterpolativeSweep):

@@ -46,11 +46,19 @@ class SyntheticPredictor:
     def run(self, pose=None):
         if pose is None:
             pose = self._generatePose()
-        self.renderer.setJointAngles(pose)
-        color, depth = self.renderer.render()
         if self.do_noise:
+            # Host path: the noise model operates on the host depth map.
+            self.renderer.setJointAngles(pose)
+            color, depth = self.renderer.render()
             depth = self.noise.holes(depth)
-        predicted = self.predictor.run(color, depth)
+            predicted = self.predictor.run(color, depth)
+        else:
+            # Device fast path: the rendered (depth, link-id) maps never
+            # leave the accelerator; one host transfer per frame.
+            depth, lid = self.renderer.render_batch_angles(
+                np.asarray(pose, np.float32)[None]
+            )
+            predicted = self.predictor.run_synthetic(depth[0], lid[0])
         return pose, predicted
 
     def _generatePose(self) -> np.ndarray:

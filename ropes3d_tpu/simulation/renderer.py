@@ -193,7 +193,7 @@ class Renderer:
         valid = self._valid & self.link_mask[self._link_ids]
         fx, fy = self.intrinsics.f
         cx, cy = self.intrinsics.pp
-        coeffs, qrange, _ = triangle_setup(cam_verts, valid, fx, fy, cx, cy)
+        coeffs, qrange, _, _ = triangle_setup(cam_verts, valid, fx, fy, cx, cy)
         shade = triangle_shade(cam_verts)
         h, w = self.resolution
         depth, lid, shade_map = rasterize_shaded(

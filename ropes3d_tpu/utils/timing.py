@@ -86,11 +86,19 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str):
+        import os
+
+        sync = bool(os.environ.get("ROPES3D_SYNC_TIMING"))
         with jax.profiler.TraceAnnotation(name):
             t0 = time.perf_counter()
             try:
                 yield
             finally:
+                if sync:
+                    # Drain the device queue so the split is attributable.
+                    import jax as _jax
+
+                    (_jax.device_put(0.0) + 0).block_until_ready()
                 dt = time.perf_counter() - t0
                 self.totals[name] = self.totals.get(name, 0.0) + dt
                 self.counts[name] = self.counts.get(name, 0) + 1

@@ -25,7 +25,7 @@ def _raster_single(tris, link_ids, valid, w2c, fx, fy, cx, cy, h, w):
         jnp.eye(4)[None],
         jnp.asarray(w2c, jnp.float32),
     )
-    coeffs, qrange, _ = triangle_setup(cam, jnp.asarray(valid), fx, fy, cx, cy)
+    coeffs, qrange, _, _ = triangle_setup(cam, jnp.asarray(valid), fx, fy, cx, cy)
     return rasterize(coeffs, qrange, jnp.asarray(link_ids, jnp.int32), h, w)
 
 
@@ -175,6 +175,37 @@ def test_render_batch_link_mask_and_poses():
     # Link-0 pixels identical between the two renders.
     l0 = np.asarray(lid)[0] == 0
     np.testing.assert_array_equal(np.asarray(depth)[0][l0], np.asarray(depth2)[0][l0])
+
+
+def test_pallas_backend_matches_xla_interpret():
+    """The fused Pallas kernel (interpret mode on CPU) must agree with the
+    XLA backend bit-for-bit."""
+    import jax
+
+    from ropes3d_tpu.ops.rasterizer import triangle_setup
+    from ropes3d_tpu.ops.rasterizer_pallas import rasterize_pallas
+
+    h, w = 32, 48
+    tris = np.array(
+        [
+            [[-1, -1, -2], [1, -1, -2], [0, 1, -2]],
+            [[-0.5, -0.5, -1.5], [0.5, -0.5, -1.5], [0, 0.7, -1.5]],
+        ],
+        np.float32,
+    )
+    link_ids = jnp.array([0, 1], jnp.int32)
+    cam = transform_vertices(
+        jnp.asarray(tris), link_ids, jnp.eye(4)[None], jnp.eye(4)
+    )
+    coeffs, qrange, vrange, _ = triangle_setup(
+        cam, jnp.array([True, True]), 32.0, 32.0, 24.0, 16.0
+    )
+    d_x, l_x = rasterize(coeffs, qrange, link_ids, h, w)
+    d_p, l_p = rasterize_pallas(
+        coeffs, qrange, vrange, link_ids, h, w, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(l_x), np.asarray(l_p))
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
 
 
 def test_camera_pose_projection_consistency():
