@@ -122,7 +122,9 @@ class AutomaticAnnotator:
             render, _ = self.rend.render()
             image = np.copy(self.ds.og_img[i])
             jobs.append((color_dict, image, render, os.path.join(dest, f"{i:05d}")))
-        with mp.Pool(worker_count()) as pool:
+        # Spawn context: forking a JAX-threaded process can deadlock.
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(worker_count()) as pool:
             pool.map(_annotate_worker, jobs)
         Splitter(dest).split(train_split, test_split)
         return dest

@@ -1,0 +1,145 @@
+"""Base-model bootstrap via synthetic pretraining.
+
+The reference downloads PixelLib's COCO-pretrained Mask R-CNN as the
+fine-tune base (``robotpose/training/__init__.py:10-15``).  The TPU-native
+replacement needs no download: the renderer *is* a labeled-data generator,
+so the base model is pretrained on synthetic robot renders with randomized
+camera poses, joint angles, lighting-free seg masks, and depth-hole-style
+appearance noise.  Fine-tuning on real annotated captures then proceeds
+exactly like the reference flow.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import DEFAULT_CAMERA_POSE, Paths
+from ..models import MaskRCNNConfig
+from ..robot import URDFReader
+from .train_loop import Trainer
+
+
+def synth_detection_batch(
+    renderer,
+    urdf: URDFReader,
+    cfg: MaskRCNNConfig,
+    batch: int,
+    rng: np.random.Generator,
+    camera_jitter: float = 0.15,
+):
+    """Render a batch of random poses into padded detection targets."""
+    from ..models.inference import IMAGENET_MEAN, IMAGENET_STD
+
+    h, w = cfg.image_hw
+    lim = urdf.joint_limits
+    images = np.zeros((batch, h, w, 3), np.float32)
+    boxes = np.zeros((batch, cfg.max_gt, 4), np.float32)
+    classes = np.zeros((batch, cfg.max_gt), np.int32)
+    masks = np.zeros((batch, cfg.max_gt, h, w), np.float32)
+    base_cam = np.array(DEFAULT_CAMERA_POSE, float)
+
+    for b in range(batch):
+        cam = base_cam + rng.uniform(-camera_jitter, camera_jitter, 6)
+        renderer.setCameraPose(cam)
+        angles = rng.uniform(lim[:, 0], lim[:, 1])
+        depth, lid = renderer.render_batch_angles(angles[None])
+        lid = np.asarray(lid[0])
+        rh, rw = lid.shape
+        # Letterbox into the model frame.
+        import cv2
+
+        scale = min(h / rh, w / rw)
+        nh, nw = int(rh * scale), int(rw * scale)
+        color = np.zeros((rh, rw, 3), np.uint8)
+        pal = renderer.palette
+        hit = lid >= 0
+        color[hit] = pal[lid[hit]]
+        # Appearance noise so the base model doesn't overfit flat colors.
+        noise = rng.normal(0, 20, color.shape)
+        img = np.clip(color.astype(float) + noise, 0, 255).astype(np.uint8)
+        img_r = cv2.resize(img, (nw, nh))
+        canvas = np.zeros((h, w, 3), np.float32)
+        canvas[:nh, :nw] = img_r
+        images[b] = (canvas - IMAGENET_MEAN) / IMAGENET_STD
+
+        g = 0
+        for li in range(min(6, renderer.num_links)):
+            if g >= cfg.max_gt:
+                break
+            m = (lid == li).astype(np.float32)
+            if m.sum() < 4:
+                continue
+            mr = cv2.resize(m, (nw, nh))
+            full = np.zeros((h, w), np.float32)
+            full[:nh, :nw] = mr
+            ys, xs = np.where(full > 0.5)
+            if len(ys) == 0:
+                continue
+            boxes[b, g] = [ys.min(), xs.min(), ys.max() + 1, xs.max() + 1]
+            classes[b, g] = li + 1  # class 0 = BG
+            masks[b, g] = full
+            g += 1
+    return {"images": images, "boxes": boxes, "classes": classes, "masks": masks}
+
+
+def bootstrap_base_model(
+    num_steps: int = 200,
+    batch: int = 4,
+    cfg: Optional[MaskRCNNConfig] = None,
+    lr: float = 5e-3,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    intrinsics: str = "640_480_color_4",
+    log_every: int = 20,
+) -> str:
+    """Pretrain the base segmentation model on synthetic renders.
+
+    Saves to ``Paths().BASE_MODEL`` (a checkpoint directory) and returns the
+    checkpoint path.
+    """
+    from ..simulation.renderer import Renderer
+
+    cfg = cfg or MaskRCNNConfig(num_classes=7, depth=101)
+    urdf = URDFReader()
+    renderer = Renderer("seg", DEFAULT_CAMERA_POSE, intrinsics)
+    rng = np.random.default_rng(seed)
+
+    out_dir = out_dir or os.path.dirname(Paths().BASE_MODEL)
+    os.makedirs(out_dir, exist_ok=True)
+    trainer = Trainer(cfg, out_dir, mesh=None, lr=lr)
+    for step in range(num_steps):
+        b = synth_detection_batch(renderer, urdf, cfg, batch, rng)
+        metrics = trainer.train_step(b)
+        if (step + 1) % log_every == 0:
+            print(
+                f"bootstrap step {step + 1}/{num_steps}: "
+                + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items())
+            )
+    path = trainer.save(0)
+    base = Paths().BASE_MODEL
+    if os.path.islink(base) or os.path.isfile(base):
+        os.remove(base)
+    if not os.path.exists(base):
+        os.symlink(path, base)
+    import json
+
+    with open(os.path.join(out_dir, "model_config.json"), "w") as f:
+        json.dump(
+            {
+                "num_classes": cfg.num_classes,
+                "depth": cfg.depth,
+                "image_hw": list(cfg.image_hw),
+                "max_gt": cfg.max_gt,
+                "pre_nms_topk": cfg.pre_nms_topk,
+                "num_proposals": cfg.num_proposals,
+                "roi_size": cfg.roi_size,
+                "mask_roi_size": cfg.mask_roi_size,
+                "max_detections": cfg.max_detections,
+                "anchor_scales": list(cfg.anchor_scales),
+            },
+            f,
+        )
+    return path
