@@ -31,18 +31,26 @@ def run(dataset: str, angs: str = "SLU", ds_factor: int = 8,
     n = min(len(ds), limit) if limit else len(ds)
     out = np.zeros((n, 6))
     t0 = time.time()
-    for start in range(0, n, chunk):
+    # Frames are processed frame-parallel in chunks: every search stage runs
+    # vmapped over the chunk (the workload's DP axis).  Chunks are bounded
+    # by camera-pose sections (all frames in a batch share one pose).
+    start = 0
+    while start < n:
         end = min(start + chunk, n)
-        for i in range(start, end):
-            out[i] = pred.run(
-                np.asarray(ds.og_img[i]),
-                np.asarray(ds.depthmaps[i]),
-                np.asarray(ds.camera_pose[i]),
-            )
+        pose0 = np.asarray(ds.camera_pose[start])
+        while end > start + 1 and np.any(
+            np.asarray(ds.camera_pose[end - 1]) != pose0
+        ):
+            end -= 1
+        out[start:end] = pred.run_batch(
+            np.asarray(ds.og_img[start:end]),
+            np.asarray(ds.depthmaps[start:end]),
+            pose0,
+        )
         np.save(f"predictions_{dataset}.npy", out)
-        done = end
-        rate = done / (time.time() - t0)
-        print(f"{done}/{n} frames ({rate:.2f} fps)")
+        rate = end / (time.time() - t0)
+        print(f"{end}/{n} frames ({rate:.2f} fps)")
+        start = end
     np.save(f"predictions_{dataset}.npy", out)
     if plot:
         Grapher(angs, out[:n], np.asarray(ds.angles[:n])).plot()

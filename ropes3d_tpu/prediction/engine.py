@@ -59,6 +59,14 @@ class SearchState(NamedTuple):
             jnp.zeros(history_length, jnp.float32),
         )
 
+    @staticmethod
+    def fresh_batch(n: int, history_length: int = 5) -> "SearchState":
+        """Frame-batched state (leading axis = frames)."""
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n, *x.shape)),
+            SearchState.fresh(history_length),
+        )
+
 
 class CandidateEvaluator:
     """Holds the device scene + compiled stage programs for one camera setup."""
@@ -147,7 +155,7 @@ class CandidateEvaluator:
 
     # ------------------------------------------------------------ descent
     @functools.lru_cache(maxsize=8)
-    def _descent_jacobi_jit(self, to_render: int):
+    def _descent_jacobi_fn(self, to_render: int):
         """Vectorized descent: per iteration, ONE batched eval of all active
         joints' under/over candidates (12 renders) with simultaneous
         (Jacobi) updates — ~6x fewer device steps than the reference's
@@ -214,10 +222,10 @@ class CandidateEvaluator:
             )
             return SearchState(angles, lr, history, err_hist)
 
-        return jax.jit(descent)
+        return descent
 
     @functools.lru_cache(maxsize=8)
-    def _descent_jit(self, to_render: int):
+    def _descent_fn(self, to_render: int):
         eval_batch = self._eval_fn(to_render)
         limits = self.joint_limits
         min_inc = self.min_ang_inc
@@ -297,7 +305,33 @@ class CandidateEvaluator:
             )
             return SearchState(angles, lr, history, err_hist)
 
-        return jax.jit(descent)
+        return descent
+
+    _STAGE_VMAP_AXES = {
+        "descent": (0, None, 0, None, None, None, None, None),
+        "isweep": (0, None, 0, None, None),
+        "tsweep": (0, None, 0, None, None),
+        "sflip": (0, None, 0, None),
+    }
+
+    @functools.lru_cache(maxsize=32)
+    def _stage_jit(self, kind: str, to_render: int, divs: int = 0, batched: bool = False):
+        """jit (optionally vmapped-over-frames) wrapper around a stage core.
+
+        Batched variants vmap over (SearchState, TargetBundle) leading axes
+        with the camera and stage scalars shared — the basis of
+        frame-parallel dataset prediction."""
+        core = {
+            "descent": lambda: self._descent_fn(to_render),
+            "descent_jacobi": lambda: self._descent_jacobi_fn(to_render),
+            "isweep": lambda: self._isweep_fn(to_render, divs),
+            "tsweep": lambda: self._tsweep_fn(to_render, divs),
+            "sflip": lambda: self._sflip_fn(to_render),
+        }[kind]()
+        if batched:
+            axes = self._STAGE_VMAP_AXES[kind.replace("_jacobi", "")]
+            core = jax.vmap(core, in_axes=axes)
+        return jax.jit(core)
 
     def descent(
         self, state: SearchState, target: TargetBundle, stage, jacobi: bool = False
@@ -306,10 +340,10 @@ class CandidateEvaluator:
         init_rate = np.array(
             [np.nan if r is None else r for r in stage.init_rate], np.float32
         )
-        f = (
-            self._descent_jacobi_jit(stage.to_render)
-            if jacobi
-            else self._descent_jit(stage.to_render)
+        batched = state.angles.ndim == 2
+        f = self._stage_jit(
+            "descent_jacobi" if jacobi else "descent", stage.to_render,
+            batched=batched,
         )
         return f(
             state,
@@ -324,7 +358,7 @@ class CandidateEvaluator:
 
     # ------------------------------------------------------------ sweeps
     @functools.lru_cache(maxsize=16)
-    def _isweep_jit(self, to_render: int, divs: int):
+    def _isweep_fn(self, to_render: int, divs: int):
         eval_batch = self._eval_fn(to_render)
         limits = self.joint_limits
 
@@ -369,17 +403,19 @@ class CandidateEvaluator:
             history2 = jnp.concatenate([angles_new[None], state.history[:-1]])
             return SearchState(angles_new, state.lr, history2, err_hist2)
 
-        return jax.jit(isweep)
+        return isweep
 
     def isweep(
         self, state: SearchState, target: TargetBundle, stage, joint_idx: int
     ) -> SearchState:
-        f = self._isweep_jit(stage.to_render, stage.divs)
+        f = self._stage_jit(
+            "isweep", stage.to_render, stage.divs, batched=state.angles.ndim == 2
+        )
         rng = jnp.float32(np.nan if stage.range is None else stage.range)
         return f(state, self._w2c, target, jnp.int32(joint_idx), rng)
 
     @functools.lru_cache(maxsize=16)
-    def _tsweep_jit(self, to_render: int, divs: int):
+    def _tsweep_fn(self, to_render: int, divs: int):
         render = self._render_fn(to_render)
         limits = self.joint_limits
 
@@ -402,7 +438,7 @@ class CandidateEvaluator:
             history2 = jnp.concatenate([angles_new[None], state.history[:-1]])
             return SearchState(angles_new, state.lr, history2, state.err_hist)
 
-        return jax.jit(tsweep)
+        return tsweep
 
     def tensor_sweep(
         self,
@@ -411,7 +447,9 @@ class CandidateEvaluator:
         stage,
         joint_idx: int,
     ) -> SearchState:
-        f = self._tsweep_jit(stage.to_render, stage.divs)
+        f = self._stage_jit(
+            "tsweep", stage.to_render, stage.divs, batched=state.angles.ndim == 2
+        )
         rng = jnp.float32(np.nan if stage.range is None else stage.range)
         return f(state, self._w2c, tgt_depth, jnp.int32(joint_idx), rng)
 
@@ -430,9 +468,25 @@ class CandidateEvaluator:
         err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
         return lookup_angles[jnp.argmin(err)]
 
+    @staticmethod
+    @jax.jit
+    def lookup_select_batch(
+        tgt_crops: jnp.ndarray,  # [F, ch, cw]
+        lookup_sqrt: jnp.ndarray,  # [N, ch, cw]
+        lookup_angles: jnp.ndarray,  # [N, 6]
+    ) -> jnp.ndarray:
+        """Frame-batched lookup argmin: -> angles [F, 6]."""
+
+        def one(tgt):
+            diff = jnp.abs(tgt[None] - lookup_sqrt)
+            err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+            return lookup_angles[jnp.argmin(err)]
+
+        return jax.lax.map(one, tgt_crops)
+
     # ------------------------------------------------------------ sflip
     @functools.lru_cache(maxsize=8)
-    def _sflip_jit(self, to_render: int):
+    def _sflip_fn(self, to_render: int):
         eval_batch = self._eval_fn(to_render)
         limits = self.joint_limits
 
@@ -468,8 +522,8 @@ class CandidateEvaluator:
             best = jnp.where(take_upper, upper, best)
             return state._replace(angles=best)
 
-        return jax.jit(sflip)
+        return sflip
 
     def sflip(self, state: SearchState, target: TargetBundle, stage) -> SearchState:
-        f = self._sflip_jit(stage.to_render)
+        f = self._stage_jit("sflip", stage.to_render, batched=state.angles.ndim == 2)
         return f(state, self._w2c, target, jnp.asarray(self.camera_pose, jnp.float32))

@@ -201,6 +201,44 @@ class Predictor:
             )
         return self._run_stages()
 
+    # ------------------------------------------------------------ batched
+    def run_batch(self, target_colors, target_depths, camera_pose=None) -> np.ndarray:
+        """Frame-parallel prediction: F frames -> angles [F, 6].
+
+        Every search stage executes vmapped over the frame axis, so the
+        device sees F-times-larger candidate batches instead of F sequential
+        frames — the data-parallel axis of this workload (SURVEY.md §2.9).
+        Targets are prepared per frame (segmentation inference or synthetic
+        mask recovery), then the whole staged search runs frame-batched.
+        """
+        if camera_pose is not None and np.any(camera_pose != self.camera_pose):
+            self.changeCameraPose(camera_pose)
+        F = len(target_colors)
+        bundles, crops = [], []
+        with self.timer.stage("target_load"):
+            for f in range(F):
+                depth = self._downsample(np.asarray(target_depths[f]), self.ds_factor)
+                if self.synthetic:
+                    self._loadSynthetic(np.asarray(target_colors[f]), depth)
+                else:
+                    self._segmentLoad(np.asarray(target_colors[f]), depth)
+                bundles.append(self._target)
+                crops.append(self._tgt_lookup_crop)
+        self._target = jax.tree.map(lambda *xs: jnp.stack(xs), *bundles)
+        self._tgt_lookup_crop = jnp.stack(crops)
+        return self._run_stages(batch=F)
+
+    def run_batch_synthetic(self, depth_full, lid_full) -> np.ndarray:
+        """Frame-parallel device path: [F, H, W] render maps -> angles [F, 6]."""
+        if not hasattr(self, "_synth_prep"):
+            self._synth_prep = self._prepare_synthetic_device()
+        F = depth_full.shape[0]
+        with self.timer.stage("target_load"):
+            self._target, self._tgt_lookup_crop = jax.vmap(self._synth_prep)(
+                jnp.asarray(depth_full), jnp.asarray(lid_full)
+            )
+        return self._run_stages(batch=F)
+
     def _loadSynthetic(self, target_color, target_depth):
         """Recover per-link masks from exact render colors
         (predict.py:445-469; matching on the unique blue channel)."""
@@ -283,20 +321,35 @@ class Predictor:
 
         return self._run_stages()
 
-    def _run_stages(self) -> np.ndarray:
+    def _run_stages(self, batch: Optional[int] = None) -> np.ndarray:
         """Run the staged search; the only device->host transfer is the
-        final angles read-back (critical on remote-attached TPUs)."""
+        final angles read-back (critical on remote-attached TPUs).
+
+        With ``batch`` = F, every stage runs vmapped over F frames
+        simultaneously — the workload's data-parallel axis (SURVEY.md §2.9).
+        """
         self._setStages()
-        state = SearchState.fresh(self.history_length)
+        state = (
+            SearchState.fresh(self.history_length)
+            if batch is None
+            else SearchState.fresh_batch(batch, self.history_length)
+        )
         target = self._target
 
         for stage in self.stages:
             name = type(stage).__name__
             with self.timer.stage(name):
                 if isinstance(stage, Lookup):
-                    angles = self.engine.lookup_select(
-                        self._tgt_lookup_crop, self.lookup_depth, self.lookup_angles
-                    )
+                    if batch is None:
+                        angles = self.engine.lookup_select(
+                            self._tgt_lookup_crop, self.lookup_depth,
+                            self.lookup_angles,
+                        )
+                    else:
+                        angles = self.engine.lookup_select_batch(
+                            self._tgt_lookup_crop, self.lookup_depth,
+                            self.lookup_angles,
+                        )
                     state = state._replace(angles=angles)
                 elif isinstance(stage, Descent):
                     state = self.engine.descent(

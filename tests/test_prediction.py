@@ -110,6 +110,22 @@ def test_synthetic_closed_loop(synth):
     assert errs.min() < 1.0
 
 
+def test_batched_matches_sequential(synth):
+    """Frame-parallel (vmapped) stages must reproduce per-frame results."""
+    import jax.numpy as jnp
+
+    poses = np.array(
+        [[0.72, -0.30, -0.74, 0, 0, 0], [1.23, -0.91, 1.55, 0, 0, 0]],
+        np.float32,
+    )
+    depth, lid = synth.renderer.render_batch_angles(poses)
+    seq = np.stack(
+        [synth.predictor.run_synthetic(depth[i], lid[i]) for i in range(2)]
+    )
+    bat = synth.predictor.run_batch_synthetic(depth, lid)
+    np.testing.assert_allclose(bat, seq, atol=1e-4)
+
+
 def test_search_state_persistence(synth):
     """Search state (history/err_hist) must thread through stages."""
     from ropes3d_tpu.prediction.engine import SearchState
