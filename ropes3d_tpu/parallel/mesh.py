@@ -45,3 +45,31 @@ def shard_batch(x, mesh: Mesh, axis: str = "data"):
 
 def replicated(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_lookup_stack(stack, angles):
+    """Shard a lookup depth stack over all devices along the candidate axis.
+
+    The reference sizes its lookup to one GPU's VRAM (SURVEY.md §2.9); here
+    the HBM budget scales with the device count: the [N, ch, cw] stack is
+    laid out candidate-sharded and the argmin reduction's collectives ride
+    ICI.  Pads N to a device-count multiple with +inf-error sentinel rows
+    (zero depth never wins the sqrt-domain mean*std argmin against real
+    rows only if padded rows duplicate row 0 — so padding repeats row 0,
+    which can only tie, never corrupt, the argmin).
+    Returns (sharded_stack, sharded_angles, mesh) or inputs unchanged on a
+    single device.
+    """
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return stack, angles, None
+    n = len(devs)
+    pad = (-stack.shape[0]) % n
+    if pad:
+        stack = jnp.concatenate([stack, jnp.repeat(stack[:1], pad, 0)], 0)
+        angles = jnp.concatenate([angles, jnp.repeat(angles[:1], pad, 0)], 0)
+    mesh = Mesh(np.array(devs), ("cand",))
+    sh = NamedSharding(mesh, P("cand"))
+    return jax.device_put(stack, sh), jax.device_put(angles, sh), mesh

@@ -108,13 +108,19 @@ class Predictor:
         self._loadLookup()
 
     def _loadLookup(self) -> None:
+        from ..parallel.mesh import shard_lookup_stack
+
         lm = RobotLookupManager()
         ang, depth = lm.get(
             self.intrinsics, self.camera_pose, LOOKUP_NUM_RENDERED, LOOKUP_JOINTS
         )
-        self.lookup_angles = jnp.asarray(ang, jnp.float32)
-        # Sqrt-domain device-resident stack (predict.py:117).
-        self.lookup_depth = jnp.sqrt(jnp.asarray(depth, jnp.float32))
+        angles = jnp.asarray(ang, jnp.float32)
+        # Sqrt-domain device-resident stack (predict.py:117), sharded over
+        # the candidate axis when multiple chips are attached.
+        stack = jnp.sqrt(jnp.asarray(depth, jnp.float32))
+        self.lookup_depth, self.lookup_angles, self._lookup_mesh = (
+            shard_lookup_stack(stack, angles)
+        )
 
     def _setStages(self) -> None:
         self.stages = getStages(self.do_angles)
