@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128  # triangles per inner step
-TILE = 1024  # pixels per grid cell (8 sublanes x 128 lanes)
+CHUNK = 64  # triangles per inner step (empirically best on v5e)
+TILE = 512  # pixels per grid cell (empirically best on v5e)
 
 
 def _raster_kernel(
