@@ -11,7 +11,7 @@ registries) stay compatible with reference-era artifacts.
 from __future__ import annotations
 
 import re
-from typing import Tuple, Union
+from typing import Union
 
 import numpy as np
 

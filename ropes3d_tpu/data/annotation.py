@@ -22,7 +22,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from ..config import DEFAULT_RENDER_COLORS, Paths
+from ..config import Paths
 from ..utils import worker_count
 
 

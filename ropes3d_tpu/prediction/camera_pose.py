@@ -18,7 +18,7 @@ Two flavors, with the reference's stage recipes and hyperparameters:
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

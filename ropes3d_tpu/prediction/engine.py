@@ -28,7 +28,7 @@ history) crosses stage boundaries exactly as in the reference, where
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ from ..config import (
     DEFAULT_CAMERA_POSE,
     LOOKUP_JOINTS,
     LOOKUP_NUM_RENDERED,
-    MAX_LINKS,
 )
 from ..camera import Intrinsics
 from ..ops.error import TargetBundle
