@@ -20,6 +20,7 @@
 #include <string>
 #include <unordered_map>
 #include <vector>
+#include <functional>
 
 extern "C" {
 
@@ -270,3 +271,184 @@ void ropes3d_raster_reference(const float* verts, const int* link_ids, long n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- QEM
+// Quadric-error-metric edge-collapse decimation.  Higher-fidelity than
+// vertex clustering at equal triangle budgets — silhouette accuracy of the
+// decimated scene bounds the pose-estimation accuracy floor.
+// in: tris[n*9]; out: out[out_cap*9]; returns triangles written.
+namespace {
+
+struct Quadric {
+  double m[10] = {0};  // symmetric 4x4: xx xy xz xw yy yz yw zz zw ww
+  void add_plane(double a, double b, double c, double d) {
+    m[0] += a * a; m[1] += a * b; m[2] += a * c; m[3] += a * d;
+    m[4] += b * b; m[5] += b * c; m[6] += b * d;
+    m[7] += c * c; m[8] += c * d; m[9] += d * d;
+  }
+  void add(const Quadric& o) {
+    for (int i = 0; i < 10; ++i) m[i] += o.m[i];
+  }
+  double eval(const double* v) const {
+    double x = v[0], y = v[1], z = v[2];
+    return m[0]*x*x + 2*m[1]*x*y + 2*m[2]*x*z + 2*m[3]*x
+         + m[4]*y*y + 2*m[5]*y*z + 2*m[6]*y
+         + m[7]*z*z + 2*m[8]*z + m[9];
+  }
+};
+
+}  // namespace
+
+extern "C" long ropes3d_decimate_qem(const float* tris, long n, long target,
+                                     float* out, long out_cap) {
+  if (n <= target) {
+    long c = std::min(n, out_cap);
+    memcpy(out, tris, (size_t)c * 9 * sizeof(float));
+    return c;
+  }
+  // Weld vertices exactly (STL repeats them per face).
+  struct VKey {
+    float x, y, z;
+    bool operator==(const VKey& o) const {
+      return x == o.x && y == o.y && z == o.z;
+    }
+  };
+  struct VKeyHash {
+    size_t operator()(const VKey& k) const {
+      auto h = [](float f) {
+        uint32_t u; memcpy(&u, &f, 4); return (size_t)u * 2654435761u;
+      };
+      return h(k.x) ^ (h(k.y) << 1) ^ (h(k.z) << 2);
+    }
+  };
+  std::unordered_map<VKey, int, VKeyHash> vmap;
+  std::vector<double> verts;   // 3 per vertex
+  std::vector<int> faces((size_t)n * 3);
+  for (long i = 0; i < n * 3; ++i) {
+    VKey k{tris[i * 3], tris[i * 3 + 1], tris[i * 3 + 2]};
+    auto it = vmap.find(k);
+    int idx;
+    if (it == vmap.end()) {
+      idx = (int)(verts.size() / 3);
+      vmap.emplace(k, idx);
+      verts.insert(verts.end(), {k.x, k.y, k.z});
+    } else {
+      idx = it->second;
+    }
+    faces[i] = idx;
+  }
+  long nv = (long)(verts.size() / 3);
+
+  // Per-vertex quadrics from face planes.
+  std::vector<Quadric> Q(nv);
+  auto face_alive = std::vector<char>((size_t)n, 1);
+  for (long f = 0; f < n; ++f) {
+    const double* p0 = &verts[(size_t)faces[f * 3] * 3];
+    const double* p1 = &verts[(size_t)faces[f * 3 + 1] * 3];
+    const double* p2 = &verts[(size_t)faces[f * 3 + 2] * 3];
+    double ux = p1[0]-p0[0], uy = p1[1]-p0[1], uz = p1[2]-p0[2];
+    double vx = p2[0]-p0[0], vy = p2[1]-p0[1], vz = p2[2]-p0[2];
+    double a = uy*vz - uz*vy, b = uz*vx - ux*vz, c = ux*vy - uy*vx;
+    double len = std::sqrt(a*a + b*b + c*c);
+    if (len < 1e-18) { face_alive[f] = 0; continue; }
+    a /= len; b /= len; c /= len;
+    double d = -(a*p0[0] + b*p0[1] + c*p0[2]);
+    for (int k = 0; k < 3; ++k) Q[faces[f * 3 + k]].add_plane(a, b, c, d);
+  }
+
+  // Union-find over vertices; iterative greedy collapse passes.
+  std::vector<int> parent(nv);
+  for (long i = 0; i < nv; ++i) parent[i] = (int)i;
+  std::function<int(int)> find = [&](int x) {
+    while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+    return x;
+  };
+
+  auto live_faces = [&]() {
+    long cnt = 0;
+    for (long f = 0; f < n; ++f) {
+      if (!face_alive[f]) continue;
+      int a = find(faces[f*3]), b = find(faces[f*3+1]), c = find(faces[f*3+2]);
+      if (a == b || b == c || a == c) { face_alive[f] = 0; continue; }
+      ++cnt;
+    }
+    return cnt;
+  };
+
+  long alive = live_faces();
+  // Collapse cheapest edges in rounds until under target.
+  for (int round = 0; round < 60 && alive > target; ++round) {
+    // Gather candidate edges from live faces with collapse cost.
+    struct Edge { double cost; int a, b; };
+    std::vector<Edge> edges;
+    edges.reserve((size_t)alive * 3);
+    for (long f = 0; f < n; ++f) {
+      if (!face_alive[f]) continue;
+      int vs[3] = {find(faces[f*3]), find(faces[f*3+1]), find(faces[f*3+2])};
+      for (int e = 0; e < 3; ++e) {
+        int a = vs[e], b = vs[(e+1)%3];
+        if (a == b) continue;
+        if (a > b) std::swap(a, b);
+        Quadric q = Q[a]; q.add(Q[b]);
+        // Midpoint placement (robust, no 4x4 solve).
+        double mid[3] = {(verts[(size_t)a*3]+verts[(size_t)b*3])/2,
+                         (verts[(size_t)a*3+1]+verts[(size_t)b*3+1])/2,
+                         (verts[(size_t)a*3+2]+verts[(size_t)b*3+2])/2};
+        edges.push_back({q.eval(mid), a, b});
+      }
+    }
+    std::sort(edges.begin(), edges.end(),
+              [](const Edge& x, const Edge& y) { return x.cost < y.cost; });
+    // Collapse up to the needed number this round, skipping touched verts.
+    long want = (alive - target + 1) / 2 + 1;
+    std::vector<char> touched(nv, 0);
+    long done = 0;
+    for (const Edge& e : edges) {
+      if (done >= want) break;
+      int a = find(e.a), b = find(e.b);
+      if (a == b || touched[a] || touched[b]) continue;
+      // Collapse b into a at the midpoint.
+      for (int d = 0; d < 3; ++d)
+        verts[(size_t)a*3+d] = (verts[(size_t)a*3+d] + verts[(size_t)b*3+d]) / 2;
+      Q[a].add(Q[b]);
+      parent[b] = a;
+      touched[a] = touched[b] = 1;
+      ++done;
+    }
+    if (done == 0) break;
+    alive = live_faces();
+  }
+
+  // Emit surviving faces (deduped on representative triples).
+  struct TriKey2 {
+    int a, b, c;
+    bool operator==(const TriKey2& o) const {
+      return a == o.a && b == o.b && c == o.c;
+    }
+  };
+  struct TriKey2Hash {
+    size_t operator()(const TriKey2& k) const {
+      return ((size_t)k.a * 73856093u) ^ ((size_t)k.b * 19349663u) ^
+             ((size_t)k.c * 83492791u);
+    }
+  };
+  std::unordered_map<TriKey2, char, TriKey2Hash> seen;
+  long nt = 0;
+  for (long f = 0; f < n && nt < out_cap; ++f) {
+    if (!face_alive[f]) continue;
+    int a = find(faces[f*3]), b = find(faces[f*3+1]), c = find(faces[f*3+2]);
+    if (a == b || b == c || a == c) continue;
+    int s0 = std::min({a,b,c}), s2 = std::max({a,b,c});
+    int s1 = a + b + c - s0 - s2;
+    TriKey2 key{s0, s1, s2};
+    if (seen.count(key)) continue;
+    seen.emplace(key, 1);
+    float* t = out + nt * 9;
+    const int vi[3] = {a, b, c};
+    for (int k = 0; k < 3; ++k)
+      for (int d = 0; d < 3; ++d)
+        t[k*3+d] = (float)verts[(size_t)vi[k]*3 + d];
+    ++nt;
+  }
+  return nt;
+}

@@ -14,22 +14,37 @@ def available() -> bool:
     return l is not None and hasattr(l, "ropes3d_decimate")
 
 
-def decimate(tris: np.ndarray, target: int) -> np.ndarray:
-    """Native vertex-clustering decimation (same algorithm as robot/mesh.py)."""
+def _call_decimator(symbol: str, tris: np.ndarray, target: int) -> np.ndarray:
     l = lib.get()
+    fn = getattr(l, symbol)
     tris = np.ascontiguousarray(tris, np.float32)
     n = tris.shape[0]
     out = np.zeros((n, 3, 3), np.float32)
-    l.ropes3d_decimate.restype = ctypes.c_long
-    l.ropes3d_decimate.argtypes = [
+    fn.restype = ctypes.c_long
+    fn.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_float), ctypes.c_long,
     ]
-    got = l.ropes3d_decimate(
+    got = fn(
         tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, target,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
     )
     return out[:got]
+
+
+def decimate(tris: np.ndarray, target: int) -> np.ndarray:
+    """Native vertex-clustering decimation (same algorithm as robot/mesh.py)."""
+    return _call_decimator("ropes3d_decimate", tris, target)
+
+
+def qem_available() -> bool:
+    l = lib.get()
+    return l is not None and hasattr(l, "ropes3d_decimate_qem")
+
+
+def decimate_qem(tris: np.ndarray, target: int) -> np.ndarray:
+    """Quadric-error-metric edge-collapse decimation (higher fidelity)."""
+    return _call_decimator("ropes3d_decimate_qem", tris, target)
 
 
 def raster_reference(
