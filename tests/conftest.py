@@ -8,7 +8,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("ROPES3D_ROOT", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("ROPES3D_ROOT", _REPO)
+os.environ["ROPES3D_REPO"] = _REPO  # stable anchor; fixtures re-point ROPES3D_ROOT
 
 import jax  # noqa: E402
 

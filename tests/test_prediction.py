@@ -22,9 +22,9 @@ def predict_root(tmp_path_factory):
     with open(root / "data" / "paths.json", "w") as f:
         json.dump(
             {
-                "URDFS": os.path.join(os.environ["ROPES3D_ROOT"], "urdfs/"),
+                "URDFS": os.path.join(os.environ["ROPES3D_REPO"], "urdfs/"),
                 "URDF": os.path.join(
-                    os.environ["ROPES3D_ROOT"],
+                    os.environ["ROPES3D_REPO"],
                     "urdfs/motoman_mh5_support_limited/urdf/mh5l_limited.urdf",
                 ),
             },
