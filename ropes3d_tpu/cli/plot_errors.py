@@ -45,8 +45,13 @@ def main():
     p.add_argument("-angs", default="SLU")
     p.add_argument("-dataset", default=None)
     p.add_argument("-sort_by", default=None)
+    p.add_argument("-no_show", action="store_true")
     a = p.parse_args()
-    run(a.file, a.angs, a.dataset, a.sort_by)
+    if a.no_show:
+        import matplotlib
+
+        matplotlib.use("Agg")
+    run(a.file, a.angs, a.dataset, a.sort_by, show=not a.no_show)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,8 @@ import numpy as np
 
 
 def run(dataset: str, angs: str = "SLU", ds_factor: int = 8,
-        chunk: int = 200, plot: bool = True, limit: int = None) -> np.ndarray:
+        chunk: int = 200, plot: bool = True, limit: int = None,
+        model_ds: str = None) -> np.ndarray:
     from ..data.dataset import Dataset
     from ..prediction.analysis import Grapher
     from ..prediction.predictor import Predictor
@@ -26,7 +27,7 @@ def run(dataset: str, angs: str = "SLU", ds_factor: int = 8,
         ds_factor=ds_factor,
         do_angles=angs,
         base_intrin=ds.attrs["color_intrinsics"],
-        model_ds=dataset,
+        model_ds=model_ds or dataset,
     )
     n = min(len(ds), limit) if limit else len(ds)
     out = np.zeros((n, 6))
@@ -64,8 +65,12 @@ def main():
     p.add_argument("-ds_factor", type=int, default=8)
     p.add_argument("-limit", type=int, default=None)
     p.add_argument("-no_plot", action="store_true")
+    p.add_argument("-model_ds", default=None, help="Model dataset criterion")
     a = p.parse_args()
-    run(a.dataset, a.angs, a.ds_factor, plot=not a.no_plot, limit=a.limit)
+    run(
+        a.dataset, a.angs, a.ds_factor, plot=not a.no_plot, limit=a.limit,
+        model_ds=a.model_ds,
+    )
 
 
 if __name__ == "__main__":

@@ -83,9 +83,25 @@ class Predictor:
             from ..models.inference import Segmenter
 
             mm = ModelManager()
-            self.seg = Segmenter(
-                mm.dynamicLoad(dataset=model_ds), class_names=self.classes
-            )
+            ckpt = mm.dynamicLoad(dataset=model_ds)
+            if ckpt is None:
+                # Fall back to the best available model of any dataset
+                # (mirrors the reference's permissive dynamicLoad warnings,
+                # models.py:269-286).
+                ckpt = mm.dynamicLoad()
+                if ckpt is None:
+                    raise FileNotFoundError(
+                        f"No trained segmentation model for dataset "
+                        f"{model_ds!r} and no fallback model in models/. "
+                        "Train one (train.py) or bootstrap "
+                        "(ropes3d_tpu.training.bootstrap)."
+                    )
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "No model trained on %s; falling back to %s", model_ds, ckpt
+                )
+            self.seg = Segmenter(ckpt, class_names=self.classes)
 
         self.engine = CandidateEvaluator(
             camera_pose, self.intrinsics, min_angle_inc, urdf=self.u_reader
