@@ -90,8 +90,7 @@ class CameraPoseEngine:
         return jax.vmap(per_cand)(cam_poses)
 
     # ------------------------------------------------------------ errors
-    @functools.partial(jax.jit, static_argnums=0)
-    def modeless_errors(self, cam_poses: jnp.ndarray, tgt_depths: jnp.ndarray):
+    def modeless_errors_raw(self, cam_poses: jnp.ndarray, tgt_depths: jnp.ndarray):
         """Depth-only error per candidate (cam_pose_prediction.py:389-427)."""
         depth, _ = self._render_cf(cam_poses)
         diff = jnp.abs(jnp.sqrt(tgt_depths)[None] - jnp.sqrt(depth))
@@ -99,7 +98,10 @@ class CameraPoseEngine:
         return jnp.mean(1.1**err, axis=1)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def seg_errors(
+    def modeless_errors(self, cam_poses, tgt_depths):
+        return self.modeless_errors_raw(cam_poses, tgt_depths)
+
+    def seg_errors_raw(
         self,
         cam_poses: jnp.ndarray,
         tgt_depths: jnp.ndarray,  # [F, H, W]
@@ -146,6 +148,76 @@ class CameraPoseEngine:
 
         return jax.vmap(per_cand)(depth, lid)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def seg_errors(self, cam_poses, tgt_depths, masks, masked_depths, present):
+        return self.seg_errors_raw(
+            cam_poses, tgt_depths, masks, masked_depths, present
+        )
+
+
+def make_camera_descent(eval_fn, min_inc: jnp.ndarray):
+    """Device-side camera-pose coordinate descent.
+
+    Same adaptive loop as the reference's camera descent
+    (cam_pose_prediction.py:188-236; no parameter limits, unlike the joint
+    version) as a single dispatch: lax.while over iterations, fori over the
+    6 pose parameters, one 2-candidate eval per step.  ``eval_fn(poses[B,6],
+    *targets) -> err[B]``.
+    """
+
+    def descent(pose, lr, history, err_hist, targets, do_param, its, redux,
+                early_stop, init_rate):
+        lr = jnp.where(jnp.isnan(init_rate), lr, init_rate)
+
+        def body(carry):
+            pose, lr, history, err_hist, it, stop = carry
+            mean_hist = jnp.mean(history, axis=0)
+
+            def param_body(j, jc):
+                pose, lr, last_min = jc
+
+                def do(_):
+                    lr_j = jnp.where(
+                        jnp.abs(mean_hist[j] - pose[j]) <= lr[j],
+                        lr[j] * redux, lr[j],
+                    )
+                    lr2 = jnp.maximum(lr.at[j].set(lr_j), min_inc)
+                    under = pose.at[j].add(-lr2[j])
+                    over = pose.at[j].add(lr2[j])
+                    errs = eval_fn(jnp.stack([under, over]), *targets)
+                    delta = jnp.where(
+                        errs[1] < errs[0], lr2[j],
+                        jnp.where(errs[1] > errs[0], -lr2[j], 0.0),
+                    )
+                    return pose.at[j].add(delta), lr2, jnp.min(errs)
+
+                return jax.lax.cond(
+                    do_param[j], do, lambda _: (pose, lr, last_min), None
+                )
+
+            pose2, lr2, last_min = jax.lax.fori_loop(
+                0, 6, param_body, (pose, lr, jnp.inf)
+            )
+            history2 = jnp.concatenate([pose2[None], history[:-1]])
+            err_hist2 = jnp.concatenate([last_min[None], err_hist[:-1]])
+            e0 = err_hist2[0]
+            c1 = jnp.abs(jnp.mean(err_hist2) - e0) / e0 < early_stop
+            rng = history2.max(0) - history2.min(0)
+            c2 = jnp.all((rng <= min_inc) | jnp.isclose(rng, min_inc))
+            c3 = jnp.all(history2[:3] == history2[0])
+            return (pose2, lr2, history2, err_hist2, it + 1, c1 | c2 | c3)
+
+        def cond(carry):
+            return (carry[4] < its) & (~carry[5])
+
+        pose, lr, history, err_hist, _, _ = jax.lax.while_loop(
+            cond, body,
+            (pose, lr, history, err_hist, jnp.int32(0), jnp.bool_(False)),
+        )
+        return pose, lr, history, err_hist
+
+    return jax.jit(descent)
+
 
 class _BaseCameraPredictor:
     """Shared staged-search loop over camera-pose space."""
@@ -190,32 +262,30 @@ class _BaseCameraPredictor:
             kind = stage[0]
             if kind == "descent":
                 _, its, redux, early_stop, do_param, init_rate = stage
-                for i in range(6):
-                    if init_rate[i] is not None:
-                        lr[i] = init_rate[i]
-                do_param = np.array(do_param)
-                for _ in range(its):
-                    for idx in np.where(do_param)[0]:
-                        if abs(np.mean(history, 0)[idx] - pose[idx]) <= lr[idx]:
-                            lr[idx] *= redux
-                        lr = np.max((lr, self.min_ang_inc), 0)
-                        under = pose.copy(); under[idx] -= lr[idx]
-                        over = pose.copy(); over[idx] += lr[idx]
-                        errs = self._eval(np.stack([under, over]))
-                        if errs[1] < errs[0]:
-                            pose[idx] += lr[idx]
-                        elif errs[1] > errs[0]:
-                            pose[idx] -= lr[idx]
-                    history = np.vstack([pose, history[:-1]])
-                    err_history = np.concatenate([[min(errs)], err_history[:-1]])
-                    e0 = err_history[0]
-                    if e0 and abs(np.mean(err_history) - e0) / e0 < early_stop:
-                        break
-                    rng_ = history.max(0) - history.min(0)
-                    if ((rng_ <= self.min_ang_inc) | np.isclose(rng_, self.min_ang_inc)).all():
-                        break
-                    if (history[:3] == history[0]).all():
-                        break
+                init = np.array(
+                    [np.nan if r is None else r for r in init_rate], np.float32
+                )
+                if not hasattr(self, "_descent_prog"):
+                    self._descent_prog = make_camera_descent(
+                        self._eval_core(),
+                        jnp.asarray(self.min_ang_inc, jnp.float32),
+                    )
+                pose_d, lr_d, hist_d, errh_d = self._descent_prog(
+                    jnp.asarray(pose, jnp.float32),
+                    jnp.asarray(lr, jnp.float32),
+                    jnp.asarray(history, jnp.float32),
+                    jnp.asarray(err_history, jnp.float32),
+                    self._eval_targets(),
+                    jnp.asarray(np.array(do_param)),
+                    jnp.int32(its),
+                    jnp.float32(redux),
+                    jnp.float32(early_stop),
+                    jnp.asarray(init),
+                )
+                pose = np.asarray(pose_d, float)
+                lr = np.asarray(lr_d, float)
+                history = np.asarray(hist_d, float)
+                err_history = np.asarray(errh_d, float)
 
             elif kind == "smartsweep":
                 _, div, rng_half, do_param = stage
@@ -327,6 +397,12 @@ class ModellessCameraPredictor(_BaseCameraPredictor):
             self.engine.modeless_errors(jnp.asarray(poses, jnp.float32), self._tgt)
         )
 
+    def _eval_core(self):
+        return self.engine.modeless_errors_raw
+
+    def _eval_targets(self):
+        return (self._tgt,)
+
     def error_at(self, pose) -> float:
         return float(self._eval(np.asarray(pose, float)[None])[0])
 
@@ -422,6 +498,12 @@ class CameraPredictor(_BaseCameraPredictor):
         return np.asarray(
             self.engine.seg_errors(jnp.asarray(poses, jnp.float32), t, m, md, pr)
         )
+
+    def _eval_core(self):
+        return self.engine.seg_errors_raw
+
+    def _eval_targets(self):
+        return self._targets
 
     def error_at(self, pose) -> float:
         return float(self._eval(np.asarray(pose, float)[None])[0])
