@@ -469,6 +469,25 @@ class CandidateEvaluator:
         return lookup_angles[jnp.argmin(err)]
 
     @staticmethod
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def lookup_select_topk(
+        tgt_crop: jnp.ndarray,
+        lookup_sqrt: jnp.ndarray,
+        lookup_angles: jnp.ndarray,
+        k: int,
+    ) -> jnp.ndarray:
+        """Top-k lookup candidates: -> angles [k, 6] (best first).
+
+        Seeds multi-hypothesis refinement: each candidate runs the full
+        stage pipeline frame-batched and the lowest final error wins —
+        robustness against wrong-basin lookup inits (a failure mode the
+        reference's single-seed search shares)."""
+        diff = jnp.abs(tgt_crop[None] - lookup_sqrt)
+        err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+        _, idx = jax.lax.top_k(-err, k)
+        return lookup_angles[idx]
+
+    @staticmethod
     @jax.jit
     def lookup_select_batch(
         tgt_crops: jnp.ndarray,  # [F, ch, cw]

@@ -53,6 +53,7 @@ class Predictor:
         model_ds: str = "set10",
         color_dict: Optional[dict] = None,
         search_mode: str = "parity",
+        lookup_topk: int = 1,
     ):
         """``search_mode``: 'parity' (default) replays the reference's
         sequential per-joint descent exactly; 'fast' batches each descent
@@ -61,6 +62,9 @@ class Predictor:
         per-render cost dominates over iteration count)."""
         assert search_mode in ("fast", "parity")
         self.search_mode = search_mode
+        # lookup_topk > 1 refines the best k lookup seeds in parallel
+        # (hypothesis-batched stages) and keeps the lowest-error result.
+        self.lookup_topk = lookup_topk
         self.ds_factor, self.preview = ds_factor, preview
         self.do_angles = do_angles.upper()
         self.min_ang_inc = min_angle_inc
@@ -348,20 +352,34 @@ class Predictor:
 
         With ``batch`` = F, every stage runs vmapped over F frames
         simultaneously — the workload's data-parallel axis (SURVEY.md §2.9).
+        With ``lookup_topk`` > 1 (single-frame mode), the top-k lookup seeds
+        refine as a hypothesis batch instead and the best final error wins.
         """
         self._setStages()
-        state = (
-            SearchState.fresh(self.history_length)
-            if batch is None
-            else SearchState.fresh_batch(batch, self.history_length)
-        )
-        target = self._target
+        hypotheses = self.lookup_topk if (batch is None and self.lookup_topk > 1) else None
+        if hypotheses:
+            state = SearchState.fresh_batch(hypotheses, self.history_length)
+            target = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (hypotheses, *x.shape)), self._target
+            )
+        else:
+            state = (
+                SearchState.fresh(self.history_length)
+                if batch is None
+                else SearchState.fresh_batch(batch, self.history_length)
+            )
+            target = self._target
 
         for stage in self.stages:
             name = type(stage).__name__
             with self.timer.stage(name):
                 if isinstance(stage, Lookup):
-                    if batch is None:
+                    if hypotheses:
+                        angles = self.engine.lookup_select_topk(
+                            self._tgt_lookup_crop, self.lookup_depth,
+                            self.lookup_angles, hypotheses,
+                        )
+                    elif batch is None:
                         angles = self.engine.lookup_select(
                             self._tgt_lookup_crop, self.lookup_depth,
                             self.lookup_angles,
@@ -392,6 +410,12 @@ class Predictor:
             if self.preview:
                 self._preview_state(state)
 
+        if hypotheses:
+            errs = self.engine._evaluate_jit(6)(
+                state.angles, self.engine._w2c, self._target
+            )
+            best = jnp.argmin(errs)
+            return np.asarray(state.angles[best], dtype=float)
         return np.asarray(state.angles, dtype=float)
 
     def _preview_state(self, state: SearchState) -> None:

@@ -126,6 +126,20 @@ def test_batched_matches_sequential(synth):
     np.testing.assert_allclose(bat, seq, atol=1e-4)
 
 
+def test_multi_hypothesis_lookup(synth):
+    """lookup_topk refines k seeds in parallel and returns the best; must be
+    at least as accurate as single-seed on a known pose."""
+    pose = np.array([0.72, -0.30, -0.74, 0, 0, 0], np.float32)
+    depth, lid = synth.renderer.render_batch_angles(pose[None])
+    synth.predictor.lookup_topk = 2
+    try:
+        est = synth.predictor.run_synthetic(depth[0], lid[0])
+    finally:
+        synth.predictor.lookup_topk = 1
+    err = np.degrees(np.abs(est - pose))[:3]
+    assert np.median(err) < 2.5, err
+
+
 def test_search_state_persistence(synth):
     """Search state (history/err_hist) must thread through stages."""
     from ropes3d_tpu.prediction.engine import SearchState
