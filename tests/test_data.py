@@ -147,6 +147,34 @@ def test_annotator_writes_labelme_json(data_root, tmp_path):
     assert os.path.isfile(stem + ".png")
 
 
+def test_aligner_sections_and_moves(data_root):
+    """Headless Aligner core: section detection, keyboard moves, per-section
+    pose write-back, step ladder."""
+    from ropes3d_tpu.simulation.aligner import Aligner
+
+    a = Aligner("testset")
+    n = len(a.ds)
+    for i in range(n):  # earlier tests may have perturbed frame poses
+        a.ds.setCameraPose(i, [0, -1.5, 0.75, 0, 0, 0])
+    assert a.sections == [(0, n)]  # uniform poses -> one section
+    p0 = a.pose.copy()
+    a.move("w")  # +y by current step
+    assert a.pose[1] == pytest.approx(p0[1] + a.step)
+    # Whole section updated.
+    for i in range(n):
+        np.testing.assert_allclose(a.ds.camera_pose[i], a.pose, atol=1e-9)
+    # Step ladder.
+    s = a.step
+    a.move("+")
+    assert a.step > s
+    a.move("-")
+    assert a.step == s
+    # Distinct pose on frame 0 splits sections.
+    a.ds.setCameraPose(0, p0 + 0.5)
+    assert len(a.sections) == 2
+    a.ds.close()
+
+
 def test_splitter(data_root, tmp_path):
     from ropes3d_tpu.data.annotation import Splitter
 
