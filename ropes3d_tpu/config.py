@@ -29,6 +29,12 @@ CROP_MAX_PER_JOINT = 50
 CROP_SEC_ALLOTTED_APPROX = 20
 CROP_PADDING = 10
 
+# ---------------------------------------------------------------- Meshes
+# Per-link triangle budget for the rasterizer scene (QEM-decimated).
+# Render cost scales ~linearly in this; 256 wins the accuracy/speed tradeoff
+# on 24-pose closed-loop evals (median 0.46deg vs 0.55deg at 144).
+DEFAULT_MAX_TRIS_PER_LINK = 256
+
 # ---------------------------------------------------------------- Lookups
 # Fraction of device memory the resident depth-lookup stack may occupy.
 # Reference budgets 10% of nvidia-smi VRAM (constants.py:28); here the

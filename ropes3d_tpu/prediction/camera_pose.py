@@ -51,7 +51,7 @@ class CameraPoseEngine:
     """Batched (camera candidate x frame) renderer + error evaluators."""
 
     def __init__(self, intrinsics: Intrinsics, urdf: URDFReader = None,
-                 max_tris_per_link: int = 256):
+                 max_tris_per_link: int = None):
         self.u_reader = urdf or URDFReader()
         self.intrinsics = intrinsics
         self.h, self.w = intrinsics.height, intrinsics.width

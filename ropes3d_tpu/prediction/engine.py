@@ -76,7 +76,7 @@ class CandidateEvaluator:
         camera_pose,
         intrinsics: Intrinsics,
         min_ang_inc: np.ndarray = None,
-        max_tris_per_link: int = 256,
+        max_tris_per_link: int = None,
         urdf: URDFReader = None,
     ):
         self.u_reader = urdf or URDFReader()

@@ -158,14 +158,18 @@ class MeshLoader:
     def __init__(
         self,
         include_t: bool = False,
-        max_tris_per_link: Optional[int] = 256,
+        max_tris_per_link: Optional[int] = None,
         urdf: URDFReader = None,
     ):
+        from ..config import DEFAULT_MAX_TRIS_PER_LINK
+
         self.u_reader = urdf or URDFReader()
         n = MAX_LINKS if include_t else MAX_LINKS - 1
         self.name_list = self.u_reader.mesh_names[:n]
         self.mesh_list = self.u_reader.mesh_paths[:n]
-        self.max_tris = max_tris_per_link
+        self.max_tris = (
+            DEFAULT_MAX_TRIS_PER_LINK if max_tris_per_link is None else max_tris_per_link
+        )
         self.load()
 
     def load(self) -> None:

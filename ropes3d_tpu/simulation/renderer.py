@@ -44,7 +44,7 @@ class Renderer:
         camera_intrin: Union[str, Intrinsics] = "1280_720_color",
         suppress_warnings: bool = False,
         intrinsic_ds_factor: int = None,
-        max_tris_per_link: int = 256,
+        max_tris_per_link: int = None,
         include_t: bool = False,
     ):
         self.suppress_warnings = suppress_warnings
