@@ -19,6 +19,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def global_mesh() -> Mesh:
+    """Process-wide 1-D mesh over all devices, axis name 'data'.
+
+    Shared by every data-sharded resident array (lookup stacks on the
+    candidate axis, frame batches on the frame axis) so they can coexist in
+    one jitted program.
+    """
+    global _GLOBAL_MESH
+    if _GLOBAL_MESH is None:
+        _GLOBAL_MESH = Mesh(np.array(jax.devices()), ("data",))
+    return _GLOBAL_MESH
+
+
 def get_mesh(
     n_devices: Optional[int] = None, axes: Sequence[str] = ("data", "model")
 ) -> Mesh:
@@ -70,6 +86,6 @@ def shard_lookup_stack(stack, angles):
     if pad:
         stack = jnp.concatenate([stack, jnp.repeat(stack[:1], pad, 0)], 0)
         angles = jnp.concatenate([angles, jnp.repeat(angles[:1], pad, 0)], 0)
-    mesh = Mesh(np.array(devs), ("cand",))
-    sh = NamedSharding(mesh, P("cand"))
+    mesh = global_mesh()
+    sh = NamedSharding(mesh, P("data"))
     return jax.device_put(stack, sh), jax.device_put(angles, sh), mesh

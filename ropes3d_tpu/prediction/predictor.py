@@ -251,7 +251,7 @@ class Predictor:
                 crops.append(self._tgt_lookup_crop)
         self._target = jax.tree.map(lambda *xs: jnp.stack(xs), *bundles)
         self._tgt_lookup_crop = jnp.stack(crops)
-        return self._run_stages(batch=F)
+        return self._run_stages_sharded(F)
 
     def run_batch_synthetic(self, depth_full, lid_full) -> np.ndarray:
         """Frame-parallel device path: [F, H, W] render maps -> angles [F, 6]."""
@@ -262,7 +262,36 @@ class Predictor:
             self._target, self._tgt_lookup_crop = jax.vmap(self._synth_prep)(
                 jnp.asarray(depth_full), jnp.asarray(lid_full)
             )
-        return self._run_stages(batch=F)
+        return self._run_stages_sharded(F)
+
+    def _run_stages_sharded(self, F: int) -> np.ndarray:
+        """Run the frame-batched search, sharding the frame axis over all
+        attached devices (pads F to a device multiple by repeating the last
+        frame).  Single-device: plain batched run."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import global_mesh
+
+        n_dev = len(_jax.devices())
+        if n_dev <= 1:
+            return self._run_stages(batch=F)
+        pad = (-F) % n_dev
+        if pad:
+            rep = lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+            self._target = jax.tree.map(rep, self._target)
+            self._tgt_lookup_crop = rep(self._tgt_lookup_crop)
+        mesh = global_mesh()
+
+        def shard(x):
+            return _jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
+
+        self._target = jax.tree.map(shard, self._target)
+        self._tgt_lookup_crop = shard(self._tgt_lookup_crop)
+        out = self._run_stages(batch=F + pad)
+        return out[:F]
 
     def _loadSynthetic(self, target_color, target_depth):
         """Recover per-link masks from exact render colors

@@ -53,13 +53,23 @@ def synth_detection_batch(
 
         scale = min(h / rh, w / rw)
         nh, nw = int(rh * scale), int(rw * scale)
-        color = np.zeros((rh, rw, 3), np.uint8)
         pal = renderer.palette
         hit = lid >= 0
+        # Random background (solid color + gradient + speckle) so the model
+        # learns robot-vs-scene rejection, not black-background shortcuts.
+        bg = np.ones((rh, rw, 3), float) * rng.uniform(0, 255, 3)
+        gx = np.linspace(0, rng.uniform(-80, 80), rw)[None, :, None]
+        gy = np.linspace(0, rng.uniform(-80, 80), rh)[:, None, None]
+        bg = bg + gx + gy + rng.normal(0, 25, bg.shape)
+        color = bg
         color[hit] = pal[lid[hit]]
-        # Appearance noise so the base model doesn't overfit flat colors.
-        noise = rng.normal(0, 20, color.shape)
-        img = np.clip(color.astype(float) + noise, 0, 255).astype(np.uint8)
+        # Appearance noise + occasional blur so the base model doesn't
+        # overfit exact flat colors.
+        img = color + rng.normal(0, 20, color.shape)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        if rng.random() < 0.3:
+            k = int(rng.integers(1, 3)) * 2 + 1
+            img = cv2.GaussianBlur(img, (k, k), 0)
         img_r = cv2.resize(img, (nw, nh))
         canvas = np.zeros((h, w, 3), np.float32)
         canvas[:nh, :nw] = img_r
