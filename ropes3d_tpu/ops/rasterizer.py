@@ -138,12 +138,14 @@ def triangle_setup(
     # vertex range; clamping at raster time suppresses sliver-triangle
     # extrapolation error at boundary pixels.
     qrange = jnp.stack([q.min(axis=1), q.max(axis=1)], axis=-1)  # [N, 2]
-    # Screen-row extent per triangle (for tile/chunk culling in the Pallas
-    # backend); dead triangles get an empty range.
+    # Screen bbox per triangle (row/col chunk culling in the Pallas
+    # backend); dead triangles get an empty box.
     vmin = jnp.where(tri_ok, v.min(axis=1), jnp.inf)
     vmax = jnp.where(tri_ok, v.max(axis=1), -jnp.inf)
-    vrange = jnp.stack([vmin, vmax], axis=-1)  # [N, 2]
-    return coeffs, qrange, vrange, tri_ok
+    umin = jnp.where(tri_ok, u.min(axis=1), jnp.inf)
+    umax = jnp.where(tri_ok, u.max(axis=1), -jnp.inf)
+    bbox = jnp.stack([vmin, vmax, umin, umax], axis=-1)  # [N, 4]
+    return coeffs, qrange, bbox, tri_ok
 
 
 def _pixel_matrix(h: int, w: int, row0, col0, dtype=jnp.float32) -> jnp.ndarray:
