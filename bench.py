@@ -25,6 +25,21 @@ import numpy as np
 
 
 def main():
+    if "--profile" in sys.argv:
+        # Capture a device trace of the benchmark (view with TensorBoard or
+        # xprof); stage boundaries are annotated via StageTimer.
+        import jax
+
+        logdir = os.path.join(os.environ["ROPES3D_ROOT"], "output", "trace")
+        os.makedirs(logdir, exist_ok=True)
+        with jax.profiler.trace(logdir):
+            _main()
+        print(f"# trace written to {logdir}", file=sys.stderr)
+    else:
+        _main()
+
+
+def _main():
     import jax
     import jax.numpy as jnp
 

@@ -223,7 +223,10 @@ def refresh_split(dataset: str) -> None:
     (reference annotation.py:346-356)."""
     from .dataset import Dataset
 
-    ds = Dataset(dataset)
+    try:
+        ds = Dataset(dataset)
+    except KeyError:
+        return  # config may reference datasets not present on this machine
     cfg_path = Paths().SPLIT_CONFIG
     if not os.path.isfile(cfg_path):
         return
