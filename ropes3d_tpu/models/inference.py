@@ -1,0 +1,126 @@
+"""Segmentation inference wrapper.
+
+Replaces the reference's PixelLib ``custom_segmentation`` usage
+(``robotpose/prediction/predict.py:96-98, 415-417``): loads an orbax
+checkpoint, runs the jitted Mask R-CNN forward, and reorganises instance
+detections into the per-link dict shape the predictor consumes
+(``_reorganize_by_link``, predict.py:383-395).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mask_rcnn import MaskRCNN, MaskRCNNConfig
+
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+class Segmenter:
+    """Loads a trained checkpoint and segments frames into per-link masks."""
+
+    def __init__(
+        self,
+        ckpt_path: str,
+        class_names: List[str],
+        cfg: Optional[MaskRCNNConfig] = None,
+    ):
+        import orbax.checkpoint as ocp
+
+        self.class_names = class_names
+        model_dir = os.path.dirname(os.path.abspath(ckpt_path))
+        cfg_file = os.path.join(model_dir, "model_config.json")
+        if cfg is None and os.path.isfile(cfg_file):
+            with open(cfg_file) as f:
+                raw = json.load(f)
+            raw["image_hw"] = tuple(raw["image_hw"])
+            for k in ("anchor_scales", "anchor_ratios"):
+                if k in raw:
+                    raw[k] = tuple(raw[k])
+            cfg = MaskRCNNConfig(**raw)
+        self.cfg = cfg or MaskRCNNConfig(num_classes=len(class_names))
+        self.model = MaskRCNN(self.cfg)
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(ckpt_path))
+        self.variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+        self._forward = jax.jit(lambda img: self.model.apply(self.variables, img))
+
+    def preprocess(self, image: np.ndarray) -> Tuple[jnp.ndarray, float, Tuple[int, int]]:
+        """Letterbox-resize to the model input and normalise."""
+        h, w = image.shape[:2]
+        mh, mw = self.cfg.image_hw
+        scale = min(mh / h, mw / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        img = jax.image.resize(
+            jnp.asarray(image, jnp.float32), (nh, nw, 3), method="linear"
+        )
+        canvas = jnp.zeros((mh, mw, 3), jnp.float32)
+        canvas = canvas.at[:nh, :nw].set(img)
+        canvas = (canvas - IMAGENET_MEAN) / IMAGENET_STD
+        return canvas, scale, (h, w)
+
+    def segment(self, image: np.ndarray) -> Tuple[Dict, np.ndarray]:
+        """Run detection: returns (per-link dict, visualisation image).
+
+        The dict maps link name -> {'confidence', 'mask' [H, W] bool},
+        merging multiple instances per class exactly as the reference's
+        ``_reorganize_by_link`` does (predict.py:383-395).
+        """
+        canvas, scale, (h, w) = self.preprocess(image)
+        out = jax.device_get(self._forward(canvas))
+        boxes = out["boxes"] / scale
+        per_link: Dict[str, dict] = {}
+        vis = np.array(image, copy=True)
+        for i in range(len(out["valid"])):
+            if not out["valid"][i]:
+                continue
+            cls = int(out["classes"][i])
+            if cls <= 0 or cls >= len(self.class_names):
+                continue
+            name = self.class_names[cls]
+            mask = self._paste_mask(out["masks"][i], boxes[i], h, w)
+            if name in per_link:
+                per_link[name]["mask"] |= mask
+                per_link[name]["confidence"] = max(
+                    per_link[name]["confidence"], float(out["scores"][i])
+                )
+            else:
+                per_link[name] = {
+                    "confidence": float(out["scores"][i]),
+                    "mask": mask,
+                }
+        for name, d in per_link.items():
+            vis[d["mask"]] = 0.5 * vis[d["mask"]] + np.array([0, 127, 0])
+        return per_link, vis
+
+    @staticmethod
+    def _paste_mask(
+        mask28: np.ndarray, box: np.ndarray, h: int, w: int, thresh: float = 0.5
+    ) -> np.ndarray:
+        """Paste an in-box mask into the full image frame."""
+        y1, x1, y2, x2 = [float(v) for v in box]
+        y1i, x1i = max(int(np.floor(y1)), 0), max(int(np.floor(x1)), 0)
+        y2i, x2i = min(int(np.ceil(y2)), h), min(int(np.ceil(x2)), w)
+        out = np.zeros((h, w), bool)
+        if y2i <= y1i or x2i <= x1i:
+            return out
+        # Host-side resize: box sizes vary per detection, and a jitted
+        # device resize would recompile per unique size.
+        import cv2
+
+        resized = cv2.resize(
+            np.asarray(mask28, np.float32), (x2i - x1i, y2i - y1i)
+        )
+        out[y1i:y2i, x1i:x2i] = resized > thresh
+        return out
