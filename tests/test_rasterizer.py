@@ -208,6 +208,30 @@ def test_pallas_backend_matches_xla_interpret():
     np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_p))
 
 
+def test_shaded_raster_consistent_with_plain():
+    """'real'-mode shaded raster: same coverage/depth (to the stolen mantissa
+    bits), plus sensible shade values."""
+    from ropes3d_tpu.ops.rasterizer import rasterize_shaded, triangle_shade
+    from ropes3d_tpu.ops.rasterizer import triangle_setup
+
+    h, w = 32, 32
+    tris = np.array(
+        [[[-1, -1, -2], [1, -1, -2], [0, 1, -2]]], np.float32
+    )
+    lids = jnp.array([0], jnp.int32)
+    cam = transform_vertices(jnp.asarray(tris), lids, jnp.eye(4)[None], jnp.eye(4))
+    coeffs, qrange, _, _ = triangle_setup(cam, jnp.array([True]), 32.0, 32.0, 16.0, 16.0)
+    shade = triangle_shade(cam)
+    assert int(shade[0]) == 255  # face-on triangle, headlight shading
+    d0, l0 = rasterize(coeffs, qrange, lids, h, w)
+    d1, l1, smap = rasterize_shaded(coeffs, qrange, lids, shade, h, w)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    cov = np.asarray(l0) >= 0
+    np.testing.assert_allclose(np.asarray(d1)[cov], np.asarray(d0)[cov], rtol=1e-3)
+    assert (np.asarray(smap)[cov] == 255).all()
+    assert (np.asarray(smap)[~cov] == 0).all()
+
+
 def test_camera_pose_projection_consistency():
     """Project a known world point through camera_matrices and check the
     rasterized blob lands at the predicted pixel."""
