@@ -1,0 +1,101 @@
+"""Direct engine stage tests: TensorSweep, Jacobi descent, SFlip program."""
+
+import numpy as np
+import pytest
+
+
+CAM = [0, -1.5, 0.75, 0, 0, 0]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.camera import Intrinsics
+    from ropes3d_tpu.ops.error import TargetBundle
+    from ropes3d_tpu.prediction.engine import CandidateEvaluator, SearchState
+    from ropes3d_tpu.robot import URDFReader
+    from ropes3d_tpu.simulation.renderer import Renderer
+
+    intr = Intrinsics("640_480_color_16")
+    urdf = URDFReader()
+    engine = CandidateEvaluator(CAM, intr, urdf=urdf)
+    rend = Renderer("seg", CAM, intr)
+    true_pose = np.array([0.4, 0.1, 0.6, 0, 0, 0], np.float32)
+    rend.setJointAngles(true_pose)
+    depth, lid = rend.render_ids()
+    masks = np.stack([lid == i for i in range(6)])
+    target = TargetBundle(
+        jnp.asarray(masks),
+        jnp.asarray(masks * depth[None], jnp.float32),
+        jnp.asarray(masks.any((1, 2))),
+        jnp.asarray(depth, jnp.float32),
+    )
+    return engine, target, true_pose
+
+
+def test_tensor_sweep_formula_parity(setup):
+    """TensorSweep must select the argmin of the reference's sqrt-domain
+    ``mean(|diff|) * -std(|diff|)`` over the swept grid (predict.py:340-373).
+
+    NOTE: that metric prefers *bimodal* diff distributions and does not
+    reliably move toward the truth on body-masked targets — which is why
+    the reference's own recipes use InterpolativeSweep instead
+    (stages.py:71-90 docstring); we reproduce the formula exactly.
+    """
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.prediction.engine import SearchState
+    from ropes3d_tpu.prediction.stages import TensorSweep
+
+    engine, target, true_pose = setup
+    state = SearchState.fresh()
+    start = true_pose.copy()
+    start[2] -= 0.4
+    state = state._replace(angles=jnp.asarray(start))
+    stage = TensorSweep(6, 15, "U", 0.6)
+    out = engine.tensor_sweep(state, target.depth, stage, 2)
+
+    # Oracle: render the same grid, apply the reference formula.
+    lim = np.asarray(engine.u_reader.joint_limits)
+    lo = max(start[2] - 0.6, lim[2, 0])
+    hi = min(start[2] + 0.6, lim[2, 1])
+    space = np.tile(start, (15, 1))
+    space[:, 2] = lo + (hi - lo) * np.arange(15) / 14
+    depth, _ = engine._render_fn(6)(jnp.asarray(space, jnp.float32), engine._w2c)
+    diff = np.abs(
+        np.sqrt(np.asarray(target.depth))[None] - np.sqrt(np.asarray(depth))
+    )
+    errs = diff.mean(axis=(1, 2)) * -diff.std(axis=(1, 2))
+    np.testing.assert_allclose(
+        np.asarray(out.angles), space[errs.argmin()], atol=1e-5
+    )
+
+
+def test_jacobi_descent_converges(setup):
+    from ropes3d_tpu.prediction.engine import SearchState
+    from ropes3d_tpu.prediction.stages import Descent
+
+    engine, target, true_pose = setup
+    state = SearchState.fresh()
+    start = true_pose + np.array([0.06, -0.05, 0.08, 0, 0, 0], np.float32)
+    state = state._replace(angles=np.asarray(start, np.float32))
+    stage = Descent(6, 15, "SLU", [0.04] * 6, early_stop_thresh=0.001)
+    state = engine.descent(state, target, stage, jacobi=True)
+    err = np.degrees(np.abs(np.asarray(state.angles) - true_pose))[:3]
+    start_err = np.degrees(np.abs(start - true_pose))[:3]
+    assert np.median(err) < np.median(start_err) / 2, (start_err, err)
+
+
+def test_sflip_program_keeps_better(setup):
+    """The device SFlip must never make the error worse."""
+    from ropes3d_tpu.prediction.engine import SearchState
+    from ropes3d_tpu.prediction.stages import SFlip
+
+    engine, target, true_pose = setup
+    state = SearchState.fresh()
+    state = state._replace(angles=np.asarray(true_pose, np.float32))
+    err_before = engine.evaluate(true_pose[None], target, 6)[0]
+    state2 = engine.sflip(state, target, SFlip(6))
+    err_after = engine.evaluate(np.asarray(state2.angles)[None], target, 6)[0]
+    assert err_after <= err_before + 1e-5
