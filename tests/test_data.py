@@ -147,6 +147,19 @@ def test_annotator_writes_labelme_json(data_root, tmp_path):
     assert os.path.isfile(stem + ".png")
 
 
+def test_verifier_remove(data_root):
+    """Headless Verifier: frame deletion through Builder.remove_idxs."""
+    from ropes3d_tpu.data import Dataset
+    from ropes3d_tpu.data.verification import Verifier
+
+    n_before = len(Dataset("testset"))
+    v = Verifier("testset")
+    v.remove([0])
+    assert len(v.ds) == n_before - 1
+    v.remove([])  # no-op
+    assert len(v.ds) == n_before - 1
+
+
 def test_aligner_sections_and_moves(data_root):
     """Headless Aligner core: section detection, keyboard moves, per-section
     pose write-back, step ladder."""
