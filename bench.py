@@ -20,6 +20,11 @@ import sys
 import time
 
 os.environ.setdefault("ROPES3D_ROOT", os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
@@ -90,9 +95,11 @@ def _main():
     dt = time.perf_counter() - t0
     cand_per_s = B * n_iters / dt
 
-    # End-to-end per-frame estimate (SLU stages, synthetic target) if the
-    # lookup table exists or can be built quickly.
-    p50_ms = None
+    # End-to-end per-frame evaluation (full fused SLU recipe, synthetic
+    # targets): >=100 fresh random poses, latency p50/p90 + error
+    # median/p90 — sampled heavily enough to be stable run-to-run.
+    p50_ms = p90_ms = med_err_deg = p90_err_deg = None
+    n_frames = int(os.environ.get("ROPES3D_BENCH_FRAMES", "100"))
     try:
         from ropes3d_tpu.simulation.lookup import RobotLookupManager
         from ropes3d_tpu.prediction.synthetic import SyntheticPredictor
@@ -103,16 +110,18 @@ def _main():
         sp.run()  # warmup/compile
         times = []
         frame_errs = []
-        for _ in range(8):
+        for _ in range(n_frames):
             pose = sp._generatePose()
             t0 = time.perf_counter()
             actual, pred = sp.run(pose)
             times.append(1e3 * (time.perf_counter() - t0))
             frame_errs.append(np.degrees(np.abs(pred - actual))[:3])
+        frame_errs = np.array(frame_errs)  # [N, 3] per-joint SLU errors
         p50_ms = float(np.percentile(times, 50))
+        p90_ms = float(np.percentile(times, 90))
         med_err_deg = float(np.median(frame_errs))
+        p90_err_deg = float(np.percentile(frame_errs, 90))
     except Exception as e:  # keep the headline metric robust
-        med_err_deg = None
         print(f"# e2e stage skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     baseline = 1.0 / (intr.size * 1.2e-8 + 0.002)
@@ -125,8 +134,11 @@ def _main():
             "resolution": f"{intr.width}x{intr.height}",
             "batch": B,
             "baseline_model_per_s": round(baseline, 1),
+            "e2e_frames": n_frames,
             "e2e_p50_ms_per_frame": p50_ms,
+            "e2e_p90_ms_per_frame": p90_ms,
             "e2e_median_err_deg": med_err_deg,
+            "e2e_p90_err_deg": p90_err_deg,
             "device": str(jax.devices()[0]),
         },
     }

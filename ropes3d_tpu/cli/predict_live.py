@@ -17,6 +17,55 @@ RAD_DEVIATION_WARN = 0.1
 RAD_DEVIATION_ALARM = 0.2
 
 
+class StateWindow:
+    """At-a-glance red/green deviation indicator (reference
+    predict_live.py:91-93, 149-156: a color-flipping window + per-joint
+    deviation gauge).  Uses matplotlib when a display exists; otherwise
+    falls back to an ANSI terminal block so the capability works over SSH.
+    """
+
+    _COLORS = {"ok": "#2e7d32", "WARN": "#f9a825", "ALARM": "#c62828"}
+    _ANSI = {"ok": "\033[42m", "WARN": "\033[43m", "ALARM": "\033[41m"}
+
+    def __init__(self, use_gui: bool = None):
+        import os
+
+        if use_gui is None:
+            use_gui = bool(os.environ.get("DISPLAY"))
+        self.gui = None
+        if use_gui:
+            try:
+                import matplotlib
+
+                matplotlib.use("TkAgg")
+                import matplotlib.pyplot as plt
+
+                plt.ion()
+                self.fig, self.ax = plt.subplots(figsize=(4, 2))
+                self.ax.axis("off")
+                self.txt = self.ax.text(
+                    0.5, 0.5, "", ha="center", va="center", fontsize=22,
+                    transform=self.ax.transAxes,
+                )
+                self.gui = plt
+            except Exception:
+                self.gui = None
+
+    def update(self, state: str, dev: "np.ndarray", tcp_mm: float) -> None:
+        label = f"{state.upper()}  tcp {tcp_mm:.0f} mm  max {dev.max():.3f} rad"
+        if self.gui is not None:
+            self.fig.set_facecolor(self._COLORS[state])
+            self.txt.set_text(label)
+            self.fig.canvas.draw_idle()
+            self.fig.canvas.flush_events()
+        else:
+            print(f"{self._ANSI[state]}  {label}  \033[0m")
+
+    def close(self) -> None:
+        if self.gui is not None:
+            self.gui.close(self.fig)
+
+
 class Live:
     def __init__(
         self,
@@ -53,6 +102,7 @@ class Live:
         )
         self.dist = JointDistance()
         self.preds = []
+        self.state_window = StateWindow()
 
     def run(self, max_frames: int = None) -> None:
         self.cam.start()
@@ -78,11 +128,13 @@ class Live:
                     f"[{state}] pred={np.round(predicted, 3)} "
                     f"claimed={np.round(claimed, 3)} tcp={tcp_mm:.1f}mm"
                 )
+                self.state_window.update(state, dev, tcp_mm)
                 self.preds.append([claimed, predicted])
                 np.save("live_preds.npy", np.array(self.preds).transpose(1, 0, 2))
                 n += 1
         finally:
             self.cam.stop()
+            self.state_window.close()
 
 
 def main():

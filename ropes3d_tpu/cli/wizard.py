@@ -65,30 +65,20 @@ class Wizard:
         print(json.dumps(cfg.get(name, {}), indent=2))
 
     def model_menu(self):
-        from ..training.model_registry import ModelInfo
+        from ..training.model_registry import ModelTree
 
-        info = ModelInfo()
+        tree = ModelTree()
         print("\nModels (by dataset):")
-        by_ds = {}
-        for name, m in info.data.items():
-            by_ds.setdefault(m.get("dataset", "?"), []).append((name, m))
-        for ds, models in sorted(by_ds.items()):
-            print(f"  {ds}:")
-            for name, m in models:
-                print(
-                    f"    {name}: {m.get('epochs_trained', 0)} epochs, "
-                    f"{m.get('num_classes', '?')} classes, {m.get('date', '')[:19]}"
-                )
-        return info.data
+        print(tree.render())
+        return tree.info.data
 
     def delete_model(self, model_id: str):
-        from ..training.model_registry import ModelInfo
+        from ..training.model_registry import ModelTree
 
-        info = ModelInfo()
-        if model_id in info.data:
-            shutil.rmtree(info.data[model_id]["path"])
-            info.update()
+        if ModelTree().delete(model_id):
             print(f"deleted {model_id}")
+        else:
+            print(f"no such model {model_id}")
 
     def urdf_menu(self, select: str = None):
         from ..robot import URDFReader

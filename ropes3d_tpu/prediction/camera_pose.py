@@ -76,34 +76,43 @@ class CameraPoseEngine:
         self.F = self.link_poses.shape[0]
 
     # ------------------------------------------------------------ rendering
-    def _render_cf(self, cam_poses: jnp.ndarray):
-        """Render all (candidate, frame) pairs: -> depth/lid [C, F, H, W]."""
-        link_mask = jnp.ones(self.num_links, bool)
+    def _render_cf(self, cam_poses: jnp.ndarray, link_poses: jnp.ndarray):
+        """Render all (candidate, frame) pairs: -> depth/lid [C, F, H, W].
+
+        ``link_poses`` [F, L, 4, 4] is an explicit argument (not read from
+        ``self``) so jitted programs built around this never bake stale
+        robot poses in as constants across ``set_robot_poses`` calls.
+        """
+        link_mask = np.ones(self.num_links, bool)
 
         def per_cand(pose6):
             w2c = w2c_from_pose_jnp(pose6)
             return render_batch(
-                self.link_poses, link_mask, self._verts, self._ids, self._valid,
-                w2c, self._intrin_vec, self.h, self.w,
+                link_poses, jnp.asarray(link_mask), self._verts, self._ids,
+                self._valid, w2c, self._intrin_vec, self.h, self.w,
             )
 
         return jax.vmap(per_cand)(cam_poses)
 
     # ------------------------------------------------------------ errors
-    def modeless_errors_raw(self, cam_poses: jnp.ndarray, tgt_depths: jnp.ndarray):
+    def modeless_errors_raw(
+        self, cam_poses: jnp.ndarray, link_poses: jnp.ndarray,
+        tgt_depths: jnp.ndarray,
+    ):
         """Depth-only error per candidate (cam_pose_prediction.py:389-427)."""
-        depth, _ = self._render_cf(cam_poses)
+        depth, _ = self._render_cf(cam_poses, link_poses)
         diff = jnp.abs(jnp.sqrt(tgt_depths)[None] - jnp.sqrt(depth))
         err = jnp.mean(diff, (2, 3)) * -jnp.std(diff, (2, 3))  # [C, F]
         return jnp.mean(1.1**err, axis=1)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def modeless_errors(self, cam_poses, tgt_depths):
-        return self.modeless_errors_raw(cam_poses, tgt_depths)
+    def modeless_errors(self, cam_poses, link_poses, tgt_depths):
+        return self.modeless_errors_raw(cam_poses, link_poses, tgt_depths)
 
     def seg_errors_raw(
         self,
         cam_poses: jnp.ndarray,
+        link_poses: jnp.ndarray,  # [F, L, 4, 4]
         tgt_depths: jnp.ndarray,  # [F, H, W]
         masks: jnp.ndarray,  # [F, 6, H, W] bool
         masked_depths: jnp.ndarray,  # [F, 6, H, W]
@@ -112,7 +121,7 @@ class CameraPoseEngine:
         """Segmentation-based multi-frame error (:964-970): per-frame sum of
         per-link mask-diff + sqrt-domain masked-depth terms + unmatched
         term with std over nonzeros; squared accumulation over frames."""
-        depth, lid = self._render_cf(cam_poses)  # [C, F, H, W]
+        depth, lid = self._render_cf(cam_poses, link_poses)  # [C, F, H, W]
 
         def per_cf(d, l, tgt, m, md, pres):
             def per_link(li):
@@ -149,21 +158,197 @@ class CameraPoseEngine:
         return jax.vmap(per_cand)(depth, lid)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def seg_errors(self, cam_poses, tgt_depths, masks, masked_depths, present):
+    def seg_errors(self, cam_poses, link_poses, tgt_depths, masks,
+                   masked_depths, present):
         return self.seg_errors_raw(
-            cam_poses, tgt_depths, masks, masked_depths, present
+            cam_poses, link_poses, tgt_depths, masks, masked_depths, present
         )
 
+    # ------------------------------------------------------------ stage cores
+    # Device-side implementations of the reference's camera-pose search
+    # stages (cam_pose_prediction.py:171-373), mirroring engine.py: each
+    # core maps (pose, lr, history, err_hist, *targets) -> updated state, so
+    # the whole staged search threads device-resident state with no numpy
+    # round-trips (and can be fused into a single program).
+    def _eval_raw(self, eval_kind: str):
+        return {
+            "modeless": self.modeless_errors_raw,
+            "seg": self.seg_errors_raw,
+        }[eval_kind]
 
-def make_camera_descent(eval_fn, min_inc: jnp.ndarray):
-    """Device-side camera-pose coordinate descent.
+    @functools.lru_cache(maxsize=128)
+    def _smartsweep_core(
+        self, eval_kind: str, div: int, rng_half: float, do_param: tuple,
+        symmetric: bool = False,
+    ):
+        """Interpolative sweep over selected pose params.
 
-    Same adaptive loop as the reference's camera descent
-    (cam_pose_prediction.py:188-236; no parameter limits, unlike the joint
-    version) as a single dispatch: lax.while over iterations, fori over the
-    6 pose parameters, one 2-candidate eval per step.  ``eval_fn(poses[B,6],
-    *targets) -> err[B]``.
-    """
+        Reference quirk kept by default (cam_pose_prediction.py:250-251,
+        780-781): the sweep window is the *asymmetric* [pose - range, pose].
+        ``symmetric=True`` is the documented fix-flag (beyond reference).
+        Also parity: base_err is computed once per stage, before the param
+        loop — it goes stale after the first accepted move (:293).
+        """
+        ev = self._eval_raw(eval_kind)
+        idxs = [i for i, b in enumerate(do_param) if b]
+
+        def smartsweep(pose, lr, history, err_hist, *targets):
+            base_err = ev(pose[None], *targets)[0]
+            for idx in idxs:
+                lo = pose[idx] - rng_half
+                hi = pose[idx] + (rng_half if symmetric else 0.0)
+                frac = jnp.arange(div, dtype=jnp.float32) / (div - 1)
+                space = jnp.tile(pose, (div, 1)).at[:, idx].set(
+                    lo + (hi - lo) * frac
+                )
+                space_err = ev(space, *targets)
+                m = div * 5
+                x = lo + (hi - lo) * jnp.arange(m, dtype=jnp.float32) / (m - 1)
+                pred = cubic_spline_uniform(lo, hi, space_err, x)
+                cand = pose.at[idx].set(x[jnp.argmin(pred)])
+                pred_err = ev(cand[None], *targets)[0]
+                grid_min = jnp.min(space_err)
+                mt = jnp.argmin(jnp.stack([base_err, grid_min, pred_err]))
+                pose = jax.lax.switch(
+                    mt,
+                    [
+                        lambda p=pose: p,
+                        lambda s=space, se=space_err: s[jnp.argmin(se)],
+                        lambda c=cand: c,
+                    ],
+                )
+                sel = jnp.where(mt == 1, grid_min, pred_err)
+                err_hist = jnp.where(
+                    mt != 0,
+                    jnp.concatenate([sel[None], err_hist[:-1]]),
+                    err_hist,
+                )
+                history = jnp.concatenate([pose[None], history[:-1]])
+            return pose, lr, history, err_hist
+
+        return smartsweep
+
+    @functools.lru_cache(maxsize=128)
+    def _tensorsweep_core(
+        self, eval_kind: str, div: int, rng_half: float, do_param: tuple
+    ):
+        ev = self._eval_raw(eval_kind)
+        idxs = [i for i, b in enumerate(do_param) if b]
+
+        def tensorsweep(pose, lr, history, err_hist, *targets):
+            for idx in idxs:
+                frac = jnp.arange(div, dtype=jnp.float32) / (div - 1)
+                space = jnp.tile(pose, (div, 1)).at[:, idx].set(
+                    pose[idx] - rng_half + 2.0 * rng_half * frac
+                )
+                errs = ev(space, *targets)
+                pose = space[jnp.argmin(errs)]
+            return pose, lr, history, err_hist
+
+        return tensorsweep
+
+    @functools.lru_cache(maxsize=64)
+    def _coupled_core(self, kind: str, eval_kind: str, div: int, rng_half: float):
+        """zp_sweep: slide z with pitch compensated to hold the view focus
+        (cam_pose_prediction.py:318-345); xya_sweep: x with coupled yaw
+        (:347-371)."""
+        ev = self._eval_raw(eval_kind)
+
+        def zp(pose, lr, history, err_hist, *targets):
+            frac = jnp.arange(div, dtype=jnp.float32) / (div - 1)
+            z = pose[2] - rng_half + 2.0 * rng_half * frac
+            pitch = jnp.arctan(
+                jnp.tan(pose[4])
+                - (z - pose[2]) / jnp.sqrt(pose[0] ** 2 + pose[1] ** 2)
+            )
+            space = jnp.tile(pose, (div, 1)).at[:, 2].set(z).at[:, 4].set(pitch)
+            errs = ev(space, *targets)
+            return space[jnp.argmin(errs)], lr, history, err_hist
+
+        def xya(pose, lr, history, err_hist, *targets):
+            frac = jnp.arange(div, dtype=jnp.float32) / (div - 1)
+            x = pose[0] - rng_half + 2.0 * rng_half * frac
+            yaw = -jnp.arctan(((x - pose[0]) / pose[0]) * jnp.tan(pose[5]))
+            space = jnp.tile(pose, (div, 1)).at[:, 0].set(x).at[:, 5].set(yaw)
+            errs = ev(space, *targets)
+            return space[jnp.argmin(errs)], lr, history, err_hist
+
+        return {"zp_sweep": zp, "xya_sweep": xya}[kind]
+
+    @functools.lru_cache(maxsize=32)
+    def _descent_core(self, eval_kind: str, min_inc: tuple, its: int,
+                      redux: float, early_stop: float, do_param: tuple,
+                      init_rate: tuple):
+        ev = self._eval_raw(eval_kind)
+        core = camera_descent_core(ev, np.asarray(min_inc, np.float32))
+        ir = np.asarray(
+            [np.nan if r is None else r for r in init_rate], np.float32
+        )
+        dp = np.asarray(do_param, bool)
+
+        def descent(pose, lr, history, err_hist, *targets):
+            return core(
+                pose, lr, history, err_hist, targets, jnp.asarray(dp),
+                jnp.int32(its), jnp.float32(redux), jnp.float32(early_stop),
+                jnp.asarray(ir),
+            )
+
+        return descent
+
+    def _stage_core(self, stage, eval_kind: str, min_inc, symmetric: bool):
+        kind = stage[0]
+        if kind == "smartsweep":
+            _, div, rng_half, do_param = stage
+            return self._smartsweep_core(
+                eval_kind, int(div), float(rng_half), tuple(do_param), symmetric
+            )
+        if kind == "tensorsweep":
+            _, div, rng_half, do_param = stage
+            return self._tensorsweep_core(
+                eval_kind, int(div), float(rng_half), tuple(do_param)
+            )
+        if kind in ("zp_sweep", "xya_sweep"):
+            _, div, rng_half = stage
+            return self._coupled_core(kind, eval_kind, int(div), float(rng_half))
+        if kind == "descent":
+            _, its, redux, early_stop, do_param, init_rate = stage
+            return self._descent_core(
+                eval_kind, tuple(np.asarray(min_inc, float)), int(its),
+                float(redux), float(early_stop), tuple(do_param),
+                tuple(init_rate),
+            )
+        raise TypeError(f"Unknown camera stage kind {kind}")
+
+    @functools.lru_cache(maxsize=64)
+    def _stage_jit_cam(self, stage_key: tuple, eval_kind: str, min_inc: tuple,
+                       symmetric: bool):
+        return jax.jit(
+            self._stage_core(stage_key, eval_kind, np.asarray(min_inc),
+                             symmetric)
+        )
+
+    @functools.lru_cache(maxsize=16)
+    def _search_jit(self, stages_key: tuple, eval_kind: str, min_inc: tuple,
+                    symmetric: bool):
+        """Fuse an entire camera-search recipe into ONE device program
+        (mirrors engine.CandidateEvaluator._recipe_jit)."""
+        cores = [
+            self._stage_core(sk, eval_kind, np.asarray(min_inc), symmetric)
+            for sk in stages_key  # build eagerly, outside the trace
+        ]
+
+        def search(pose, lr, history, err_hist, *targets):
+            state = (pose, lr, history, err_hist)
+            for core in cores:
+                state = core(*state, *targets)
+            return state[0]
+
+        return jax.jit(search)
+
+
+def camera_descent_core(eval_fn, min_inc):
+    """Un-jitted camera-pose coordinate descent core (see make_camera_descent)."""
+    min_inc = np.asarray(min_inc, np.float32)
 
     def descent(pose, lr, history, err_hist, targets, do_param, its, redux,
                 early_stop, init_rate):
@@ -216,7 +401,19 @@ def make_camera_descent(eval_fn, min_inc: jnp.ndarray):
         )
         return pose, lr, history, err_hist
 
-    return jax.jit(descent)
+    return descent
+
+
+def make_camera_descent(eval_fn, min_inc):
+    """Device-side camera-pose coordinate descent.
+
+    Same adaptive loop as the reference's camera descent
+    (cam_pose_prediction.py:188-236; no parameter limits, unlike the joint
+    version) as a single dispatch: lax.while over iterations, fori over the
+    6 pose parameters, one 2-candidate eval per step.  ``eval_fn(poses[B,6],
+    *targets) -> err[B]``.
+    """
+    return jax.jit(camera_descent_core(eval_fn, np.asarray(min_inc)))
 
 
 class _BaseCameraPredictor:
@@ -247,13 +444,89 @@ class _BaseCameraPredictor:
     def _eval(self, poses: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
+    # Subclasses name their batched error program ('modeless' or 'seg').
+    _eval_kind: str = None
+    # Reference-quirk flag: asymmetric smartsweep windows (see
+    # CameraPoseEngine._smartsweep_core).  True = parity.
+    asymmetric_sweeps: bool = True
+
     def _batch_downsample(self, base: np.ndarray, factor: int) -> np.ndarray:
         return np.stack(
             [np.asarray(downsample(jnp.asarray(b), factor)) for b in base]
         )
 
-    def _search(self, pose: np.ndarray, stages: Sequence) -> np.ndarray:
-        """The staged optimizer loop (cam_pose_prediction.py:171-373)."""
+    @staticmethod
+    def _stages_key(stages: Sequence) -> tuple:
+        return tuple(
+            tuple(
+                tuple(x) if isinstance(x, (list, np.ndarray)) else x
+                for x in s
+            )
+            for s in stages
+        )
+
+    def _search(self, pose: np.ndarray, stages: Sequence,
+                mode: str = None) -> np.ndarray:
+        """The staged optimizer loop (cam_pose_prediction.py:171-373) as
+        device programs.
+
+        ``mode``: 'fused' compiles the entire recipe into one XLA program
+        (one dispatch per solve — production default on TPU); 'staged'
+        dispatches one jitted program per stage with the search state kept
+        device-resident throughout (smaller compiles — default elsewhere);
+        'host' is the legacy numpy-threaded loop kept for debugging.
+        """
+        if mode is None:
+            mode = "fused" if jax.default_backend() == "tpu" else "staged"
+        if mode == "host":
+            return self._search_host(pose, stages)
+
+        targets = self._eval_targets()
+        min_inc = tuple(np.asarray(self.min_ang_inc, float))
+        sym = not self.asymmetric_sweeps
+        state = (
+            jnp.asarray(pose, jnp.float32),
+            jnp.zeros(6, jnp.float32),
+            jnp.zeros((self.history_length, 6), jnp.float32),
+            jnp.zeros(self.history_length, jnp.float32),
+        )
+
+        # 'spiral' is a host-chunked global search; split around it.
+        segments, cur = [], []
+        for s in stages:
+            if s[0] == "spiral":
+                if cur:
+                    segments.append(cur)
+                    cur = []
+                segments.append("spiral")
+            else:
+                cur.append(s)
+        if cur:
+            segments.append(cur)
+
+        for seg in segments:
+            if seg == "spiral":
+                state = (
+                    jnp.asarray(SpiralRenderer(self._eval).run(), jnp.float32),
+                    *state[1:],
+                )
+                continue
+            key = self._stages_key(seg)
+            if mode == "fused":
+                pose_out = self.engine._search_jit(
+                    key, self._eval_kind, min_inc, sym
+                )(*state, *targets)
+                state = (pose_out, *state[1:])
+            else:
+                for sk in key:
+                    f = self.engine._stage_jit_cam(
+                        sk, self._eval_kind, min_inc, sym
+                    )
+                    state = f(*state, *targets)
+        return np.asarray(state[0], float)
+
+    def _search_host(self, pose: np.ndarray, stages: Sequence) -> np.ndarray:
+        """Legacy host-threaded staged loop (numpy state between stages)."""
         lr = np.zeros(6)
         history = np.zeros((self.history_length, 6))
         err_history = np.zeros(self.history_length)
@@ -357,6 +630,8 @@ class _BaseCameraPredictor:
 class ModellessCameraPredictor(_BaseCameraPredictor):
     """Depth-only camera-pose search (cam_pose_prediction.py:28-431)."""
 
+    _eval_kind = "modeless"
+
     def _setStages(self):
         wide_tensorsweep_xyz = ["tensorsweep", 20, 0.2, [True, True, True, False, False, False]]
         wide_tensorsweep_rpy = ["tensorsweep", 20, 0.1, [False, False, False, True, True, True]]
@@ -394,14 +669,17 @@ class ModellessCameraPredictor(_BaseCameraPredictor):
 
     def _eval(self, poses: np.ndarray) -> np.ndarray:
         return np.asarray(
-            self.engine.modeless_errors(jnp.asarray(poses, jnp.float32), self._tgt)
+            self.engine.modeless_errors(
+                jnp.asarray(poses, jnp.float32), self.engine.link_poses,
+                self._tgt,
+            )
         )
 
     def _eval_core(self):
         return self.engine.modeless_errors_raw
 
     def _eval_targets(self):
-        return (self._tgt,)
+        return (self.engine.link_poses, self._tgt)
 
     def error_at(self, pose) -> float:
         return float(self._eval(np.asarray(pose, float)[None])[0])
@@ -414,6 +692,8 @@ class CameraPredictor(_BaseCameraPredictor):
     colors) exactly like the Predictor; otherwise a trained Segmenter is
     loaded via ModelManager.
     """
+
+    _eval_kind = "seg"
 
     def __init__(self, *args, model_ds: str = None, color_dict: dict = None, **kwargs):
         super().__init__(*args, **kwargs)
@@ -496,14 +776,17 @@ class CameraPredictor(_BaseCameraPredictor):
     def _eval(self, poses: np.ndarray) -> np.ndarray:
         t, m, md, pr = self._targets
         return np.asarray(
-            self.engine.seg_errors(jnp.asarray(poses, jnp.float32), t, m, md, pr)
+            self.engine.seg_errors(
+                jnp.asarray(poses, jnp.float32), self.engine.link_poses,
+                t, m, md, pr,
+            )
         )
 
     def _eval_core(self):
         return self.engine.seg_errors_raw
 
     def _eval_targets(self):
-        return self._targets
+        return (self.engine.link_poses, *self._targets)
 
     def error_at(self, pose) -> float:
         return float(self._eval(np.asarray(pose, float)[None])[0])

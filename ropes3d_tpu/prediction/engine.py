@@ -40,6 +40,39 @@ from ..ops.interp import cubic_spline_uniform
 from ..ops.rasterizer import render_batch
 from ..robot import MeshLoader, URDFReader
 from ..robot.kinematics import make_fk
+from .stages import Descent, InterpolativeSweep, Lookup, SFlip, TensorSweep
+
+
+def _stage_key(stages) -> tuple:
+    """Hashable description of a stage recipe (for compiled-program caching)."""
+    key = []
+    for s in stages:
+        if isinstance(s, Lookup):
+            key.append(("lookup",))
+        elif isinstance(s, Descent):
+            key.append((
+                "descent", s.to_render, int(s.its), float(s.rate_redux),
+                float(s.early_stop),
+                tuple(None if r is None else float(r) for r in s.init_rate),
+                tuple(bool(b) for b in s.joints),
+            ))
+        elif isinstance(s, InterpolativeSweep):
+            key.append((
+                "isweep", s.to_render, int(s.divs),
+                None if s.range is None else float(s.range),
+                tuple(bool(b) for b in s.joints),
+            ))
+        elif isinstance(s, TensorSweep):
+            key.append((
+                "tsweep", s.to_render, int(s.divs),
+                None if s.range is None else float(s.range),
+                tuple(bool(b) for b in s.joints),
+            ))
+        elif isinstance(s, SFlip):
+            key.append(("sflip", s.to_render))
+        else:
+            raise TypeError(f"Unknown stage type {type(s).__name__}")
+    return tuple(key)
 
 
 class SearchState(NamedTuple):
@@ -116,7 +149,10 @@ class CandidateEvaluator:
 
     def _render_fn(self, to_render: int):
         verts, ids, valid = self._scene_slice(to_render)
-        link_mask = jnp.ones(min(to_render, self.num_links), bool)
+        # NB: numpy (not jnp) constants — these closures are lru-cached and
+        # may first be built *inside* a jit trace, where a jnp constant
+        # would be a tracer and leak into later traces.
+        link_mask = np.ones(min(to_render, self.num_links), bool)
         intrin = self._intrin_vec
         h, w = self.h, self.w
         fk = self._fk
@@ -124,19 +160,22 @@ class CandidateEvaluator:
 
         def render(angles, w2c):
             poses = fk(angles)[:, :L]
+            # np->jnp conversion inside the traced body (fresh per trace).
             return render_batch(
-                poses, link_mask, verts, ids, valid, w2c, intrin, h, w
+                poses, jnp.asarray(link_mask), verts, ids, valid, w2c, intrin,
+                h, w,
             )
 
         return render
 
     def _eval_fn(self, to_render: int):
         render = self._render_fn(to_render)
-        link_active = (jnp.arange(6) >= 1) & (jnp.arange(6) < to_render)
+        link_active = (np.arange(6) >= 1) & (np.arange(6) < to_render)
 
         def eval_batch(angles, w2c, target: TargetBundle):
             depth, lid = render(angles, w2c)
-            return jax.vmap(lambda d, l: link_error(target, d, l, link_active))(
+            la = jnp.asarray(link_active)
+            return jax.vmap(lambda d, l: link_error(target, d, l, la))(
                 depth, lid
             )
 
@@ -154,21 +193,29 @@ class CandidateEvaluator:
         )
 
     # ------------------------------------------------------------ descent
-    @functools.lru_cache(maxsize=8)
-    def _descent_jacobi_fn(self, to_render: int):
-        """Vectorized descent: per iteration, ONE batched eval of all active
-        joints' under/over candidates (12 renders) with simultaneous
-        (Jacobi) updates — ~6x fewer device steps than the reference's
-        sequential per-joint loop at equal iteration count.  Trajectories
-        differ slightly from parity mode; accuracy is equivalent (the stage
-        recipes' stop rules dominate)."""
+    @functools.lru_cache(maxsize=32)
+    def _descent_jacobi_fn(self, to_render: int, joints: tuple):
+        """Vectorized descent: per iteration, ONE batched eval of the active
+        joints' under/over candidates (2k renders for k active joints) with
+        simultaneous (Jacobi) updates — ~k-times fewer sequential device
+        steps than the reference's per-joint loop at equal iteration count.
+        Trajectories differ slightly from parity mode; accuracy is
+        equivalent (the stage recipes' stop rules dominate).
+
+        ``joints`` is static — only active joints are probed, so an SL
+        descent evaluates 4 candidates per iteration, not 12."""
         eval_batch = self._eval_fn(to_render)
         limits = self.joint_limits
         min_inc = self.min_ang_inc
+        active = tuple(j for j, b in enumerate(joints) if b)
+        idx = np.asarray(active, np.int32)
+        k = len(active)
+        sel = np.zeros((k, 6), np.float32)
+        sel[np.arange(k), idx] = 1.0  # one-hot rows for active joints
 
         def descent(
             state: SearchState, w2c, target: TargetBundle,
-            joints_mask, its, rate_redux, early_stop, init_rate,
+            its, rate_redux, early_stop, init_rate,
         ) -> SearchState:
             state = state._replace(
                 lr=jnp.where(jnp.isnan(init_rate), state.lr, init_rate)
@@ -178,30 +225,31 @@ class CandidateEvaluator:
                 angles, lr, history, err_hist, it, stop = carry
                 mean_hist = jnp.mean(history, axis=0)
                 shrink = jnp.abs(mean_hist - angles) <= lr
-                lr2 = jnp.where(joints_mask & shrink, lr * rate_redux, lr)
+                mask = jnp.asarray(sel.any(0))
+                lr2 = jnp.where(mask & shrink, lr * rate_redux, lr)
                 lr2 = jnp.maximum(lr2, min_inc)
 
-                eye = jnp.eye(6, dtype=angles.dtype)
-                under = angles[None] - eye * lr2[:, None]  # [6, 6]
-                over = angles[None] + eye * lr2[:, None]
-                cands = jnp.concatenate([under, over], axis=0)  # [12, 6]
+                rows = jnp.asarray(sel)  # [k, 6]
+                step = rows * lr2[idx][:, None]  # [k, 6]
+                under = angles[None] - step
+                over = angles[None] + step
+                cands = jnp.concatenate([under, over], axis=0)  # [2k, 6]
                 errs = eval_batch(cands, w2c, target)
-                diag_u = jnp.diagonal(under)  # under[j, j]
-                diag_o = jnp.diagonal(over)
-                inl_u = (diag_u >= limits[:, 0]) & (diag_u <= limits[:, 1])
-                inl_o = (diag_o >= limits[:, 0]) & (diag_o <= limits[:, 1])
-                err_u = jnp.where(inl_u, errs[:6], jnp.inf)
-                err_o = jnp.where(inl_o, errs[6:], jnp.inf)
+                diag_u = under[jnp.arange(k), idx]
+                diag_o = over[jnp.arange(k), idx]
+                inl_u = (diag_u >= limits[idx, 0]) & (diag_u <= limits[idx, 1])
+                inl_o = (diag_o >= limits[idx, 0]) & (diag_o <= limits[idx, 1])
+                err_u = jnp.where(inl_u, errs[:k], jnp.inf)
+                err_o = jnp.where(inl_o, errs[k:], jnp.inf)
                 delta = jnp.where(
-                    err_o < err_u, lr2, jnp.where(err_o > err_u, -lr2, 0.0)
+                    err_o < err_u, lr2[idx],
+                    jnp.where(err_o > err_u, -lr2[idx], 0.0),
                 )
-                angles2 = angles + jnp.where(joints_mask, delta, 0.0)
+                angles2 = angles.at[idx].add(delta)
 
                 # Last active joint's min error feeds err_hist (parity with
                 # the sequential loop's leftover over/under, predict.py:222).
-                jmin = jnp.minimum(err_u, err_o)
-                last_active = 5 - jnp.argmax(joints_mask[::-1])
-                last_min = jmin[last_active]
+                last_min = jnp.minimum(err_u, err_o)[-1]
 
                 history2 = jnp.concatenate([angles2[None], history[:-1]])
                 err_hist2 = jnp.concatenate([last_min[None], err_hist[:-1]])
@@ -224,17 +272,21 @@ class CandidateEvaluator:
 
         return descent
 
-    @functools.lru_cache(maxsize=8)
-    def _descent_fn(self, to_render: int):
+    @functools.lru_cache(maxsize=32)
+    def _descent_fn(self, to_render: int, joints: tuple):
+        """Reference-parity sequential coordinate descent
+        (predict.py:173-229).  ``joints`` is static: the per-joint loop is
+        unrolled over active joints only, which removes the lax.cond
+        branches and the wasted probes of inactive joints."""
         eval_batch = self._eval_fn(to_render)
         limits = self.joint_limits
         min_inc = self.min_ang_inc
+        active = tuple(j for j, b in enumerate(joints) if b)
 
         def descent(
             state: SearchState,
             w2c,
             target: TargetBundle,
-            joints_mask,  # [6] bool
             its,  # int32
             rate_redux,  # f32
             early_stop,  # f32
@@ -246,44 +298,32 @@ class CandidateEvaluator:
             def body(carry):
                 angles, lr, history, err_hist, it, stop = carry
                 mean_hist = jnp.mean(history, axis=0)
+                last_min = jnp.asarray(jnp.inf, jnp.float32)
 
-                def joint_body(j, jc):
-                    angles, lr, last_min = jc
-
-                    def do(_):
-                        # Rate adaptation (predict.py:184-187).
-                        lr_j = jnp.where(
-                            jnp.abs(mean_hist[j] - angles[j]) <= lr[j],
-                            lr[j] * rate_redux,
-                            lr[j],
-                        )
-                        lr2 = jnp.maximum(lr.at[j].set(lr_j), min_inc)
-                        under = angles.at[j].add(-lr2[j])
-                        over = angles.at[j].add(lr2[j])
-                        errs = eval_batch(jnp.stack([under, over]), w2c, target)
-                        inl_u = (under[j] >= limits[j, 0]) & (under[j] <= limits[j, 1])
-                        inl_o = (over[j] >= limits[j, 0]) & (over[j] <= limits[j, 1])
-                        err_u = jnp.where(inl_u, errs[0], jnp.inf)
-                        err_o = jnp.where(inl_o, errs[1], jnp.inf)
-                        delta = jnp.where(
-                            err_o < err_u,
-                            lr2[j],
-                            jnp.where(err_o > err_u, -lr2[j], 0.0),
-                        )
-                        return (
-                            angles.at[j].add(delta),
-                            lr2,
-                            jnp.minimum(err_o, err_u),
-                        )
-
-                    return jax.lax.cond(
-                        joints_mask[j], do, lambda _: (angles, lr, last_min), None
+                for j in active:  # static unroll (sequential dependency)
+                    # Rate adaptation (predict.py:184-187).
+                    lr_j = jnp.where(
+                        jnp.abs(mean_hist[j] - angles[j]) <= lr[j],
+                        lr[j] * rate_redux,
+                        lr[j],
                     )
+                    lr = jnp.maximum(lr.at[j].set(lr_j), min_inc)
+                    under = angles.at[j].add(-lr[j])
+                    over = angles.at[j].add(lr[j])
+                    errs = eval_batch(jnp.stack([under, over]), w2c, target)
+                    inl_u = (under[j] >= limits[j, 0]) & (under[j] <= limits[j, 1])
+                    inl_o = (over[j] >= limits[j, 0]) & (over[j] <= limits[j, 1])
+                    err_u = jnp.where(inl_u, errs[0], jnp.inf)
+                    err_o = jnp.where(inl_o, errs[1], jnp.inf)
+                    delta = jnp.where(
+                        err_o < err_u,
+                        lr[j],
+                        jnp.where(err_o > err_u, -lr[j], 0.0),
+                    )
+                    angles = angles.at[j].add(delta)
+                    last_min = jnp.minimum(err_o, err_u)
 
-                angles2, lr2, last_min = jax.lax.fori_loop(
-                    0, 6, joint_body, (angles, lr, jnp.inf)
-                )
-                history2 = jnp.concatenate([angles2[None], history[:-1]])
+                history2 = jnp.concatenate([angles[None], history[:-1]])
                 err_hist2 = jnp.concatenate([last_min[None], err_hist[:-1]])
 
                 # Stop rules (predict.py:223-230).
@@ -292,7 +332,7 @@ class CandidateEvaluator:
                 rng = history2.max(0) - history2.min(0)
                 c2 = jnp.all((rng <= min_inc) | jnp.isclose(rng, min_inc))
                 c3 = jnp.all(history2[:3] == history2[0])
-                return (angles2, lr2, history2, err_hist2, it + 1, c1 | c2 | c3)
+                return (angles, lr, history2, err_hist2, it + 1, c1 | c2 | c3)
 
             def cond(carry):
                 return (carry[4] < its) & (~carry[5])
@@ -308,22 +348,25 @@ class CandidateEvaluator:
         return descent
 
     _STAGE_VMAP_AXES = {
-        "descent": (0, None, 0, None, None, None, None, None),
+        "descent": (0, None, 0, None, None, None, None),
         "isweep": (0, None, 0, None, None),
         "tsweep": (0, None, 0, None, None),
         "sflip": (0, None, 0, None),
     }
 
     @functools.lru_cache(maxsize=32)
-    def _stage_jit(self, kind: str, to_render: int, divs: int = 0, batched: bool = False):
+    def _stage_jit(
+        self, kind: str, to_render: int, divs: int = 0, batched: bool = False,
+        joints: tuple = (),
+    ):
         """jit (optionally vmapped-over-frames) wrapper around a stage core.
 
         Batched variants vmap over (SearchState, TargetBundle) leading axes
         with the camera and stage scalars shared — the basis of
         frame-parallel dataset prediction."""
         core = {
-            "descent": lambda: self._descent_fn(to_render),
-            "descent_jacobi": lambda: self._descent_jacobi_fn(to_render),
+            "descent": lambda: self._descent_fn(to_render, joints),
+            "descent_jacobi": lambda: self._descent_jacobi_fn(to_render, joints),
             "isweep": lambda: self._isweep_fn(to_render, divs),
             "tsweep": lambda: self._tsweep_fn(to_render, divs),
             "sflip": lambda: self._sflip_fn(to_render),
@@ -343,13 +386,12 @@ class CandidateEvaluator:
         batched = state.angles.ndim == 2
         f = self._stage_jit(
             "descent_jacobi" if jacobi else "descent", stage.to_render,
-            batched=batched,
+            batched=batched, joints=tuple(bool(b) for b in stage.joints),
         )
         return f(
             state,
             self._w2c,
             target,
-            jnp.asarray(stage.joints),
             jnp.int32(stage.its),
             jnp.float32(stage.rate_redux),
             jnp.float32(stage.early_stop),
@@ -546,3 +588,175 @@ class CandidateEvaluator:
     def sflip(self, state: SearchState, target: TargetBundle, stage) -> SearchState:
         f = self._stage_jit("sflip", stage.to_render, batched=state.angles.ndim == 2)
         return f(state, self._w2c, target, jnp.asarray(self.camera_pose, jnp.float32))
+
+    # ------------------------------------------------------------ fused recipe
+    def _apply_stage(self, skey, state, w2c, target, cam_pose, jacobi):
+        """Trace one stage (described by its hashable key) onto the state."""
+        kind = skey[0]
+        if kind == "sflip":
+            return self._sflip_fn(skey[1])(state, w2c, target, cam_pose)
+        if kind == "descent":
+            _, to_render, its, redux, early, init_rate, joints = skey
+            fn = (
+                self._descent_jacobi_fn(to_render, joints)
+                if jacobi
+                else self._descent_fn(to_render, joints)
+            )
+            ir = jnp.asarray(
+                [np.nan if r is None else r for r in init_rate], jnp.float32
+            )
+            return fn(
+                state, w2c, target, jnp.int32(its),
+                jnp.float32(redux), jnp.float32(early), ir,
+            )
+        if kind == "isweep":
+            _, to_render, divs, rng_, joints = skey
+            fn = self._isweep_fn(to_render, divs)
+            rv = jnp.float32(np.nan if rng_ is None else rng_)
+            for j in (i for i, b in enumerate(joints) if b):
+                state = fn(state, w2c, target, jnp.int32(j), rv)
+            return state
+        if kind == "tsweep":
+            _, to_render, divs, rng_, joints = skey
+            fn = self._tsweep_fn(to_render, divs)
+            rv = jnp.float32(np.nan if rng_ is None else rng_)
+            for j in (i for i, b in enumerate(joints) if b):
+                state = fn(state, w2c, target.depth, jnp.int32(j), rv)
+            return state
+        raise TypeError(f"Unknown stage kind {kind}")
+
+    @functools.lru_cache(maxsize=16)
+    def _recipe_jit(self, key, topk, jacobi, batched, history_length,
+                    final_render: int = 6):
+        return jax.jit(
+            self._recipe_fn(key, topk, jacobi, batched, history_length,
+                            final_render)
+        )
+
+    @functools.lru_cache(maxsize=16)
+    def _recipe_fn(
+        self,
+        key: tuple,
+        topk: int,
+        jacobi: bool,
+        batched: bool,
+        history_length: int,
+        final_render: int = 6,
+    ):
+        """Compile an entire stage recipe into ONE device program.
+
+        The reference's stage loop ran ~10 separate dispatches per frame with
+        host round-trips between them (robotpose/prediction/predict.py:159-374
+        interleaves Python control with GPU work); here the full
+        lookup -> sflip -> sweeps -> descent composition traces into a single
+        XLA executable, so per-frame device traffic is one upload + one
+        angles read-back — critical on remote-attached chips.
+
+        ``topk`` > 1 fans the best-k lookup seeds into a hypothesis batch
+        (vmapped over the remaining stages) and returns the lowest-error
+        hypothesis.  ``batched`` vmaps the whole recipe over a leading frame
+        axis (the workload's data-parallel axis, SURVEY.md §2.9).
+        """
+        lookup_pos = next(
+            (i for i, sk in enumerate(key) if sk[0] == "lookup"), None
+        )
+        pre = key[: lookup_pos if lookup_pos is not None else 0]
+        post = key[lookup_pos + 1 :] if lookup_pos is not None else key
+
+        # Eagerly build every lru-cached stage closure OUTSIDE the trace so
+        # their internal constants are concrete (first-build inside a trace
+        # would capture tracers that leak into subsequent traces).
+        for sk in key:
+            kind = sk[0]
+            if kind == "sflip":
+                self._sflip_fn(sk[1])
+            elif kind == "descent":
+                (self._descent_jacobi_fn if jacobi else self._descent_fn)(
+                    sk[1], sk[6]
+                )
+            elif kind == "isweep":
+                self._isweep_fn(sk[1], sk[2])
+            elif kind == "tsweep":
+                self._tsweep_fn(sk[1], sk[2])
+
+        def lookup_one(tgt_crop, lookup_sqrt, lookup_angles):
+            diff = jnp.abs(tgt_crop[None] - lookup_sqrt)
+            err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+            if topk > 1:
+                _, idx = jax.lax.top_k(-err, topk)
+                return lookup_angles[idx]  # [k, 6]
+            return lookup_angles[jnp.argmin(err)]
+
+        def run_post(seed, w2c, target, cam_pose):
+            state = SearchState.fresh(history_length)._replace(angles=seed)
+            for sk in post:
+                state = self._apply_stage(sk, state, w2c, target, cam_pose, jacobi)
+            return state.angles
+
+        eval6 = self._eval_fn(final_render)
+
+        def single(w2c, cam_pose, target, tgt_crop, lookup_sqrt, lookup_angles):
+            state = SearchState.fresh(history_length)
+            for sk in pre:
+                state = self._apply_stage(sk, state, w2c, target, cam_pose, jacobi)
+            if lookup_pos is None:
+                for sk in post:
+                    state = self._apply_stage(
+                        sk, state, w2c, target, cam_pose, jacobi
+                    )
+                return state.angles
+            seeds = lookup_one(tgt_crop, lookup_sqrt, lookup_angles)
+            if topk > 1:
+                all_angles = jax.vmap(
+                    run_post, in_axes=(0, None, None, None)
+                )(seeds, w2c, target, cam_pose)
+                errs = eval6(all_angles, w2c, target)
+                return all_angles[jnp.argmin(errs)]
+            return run_post(seeds, w2c, target, cam_pose)
+
+        fn = single
+        if batched:
+            if not pre and lookup_pos is not None and topk == 1:
+                # Lookup via lax.map over frames (bounds the [N, ch, cw]
+                # diff intermediate to one frame at a time), then the rest
+                # of the recipe vmapped over the frame axis.
+                def batched_fn(
+                    w2c, cam_pose, target, tgt_crop, lookup_sqrt, lookup_angles
+                ):
+                    seeds = jax.lax.map(
+                        lambda t: lookup_one(t, lookup_sqrt, lookup_angles),
+                        tgt_crop,
+                    )
+                    return jax.vmap(run_post, in_axes=(0, None, 0, None))(
+                        seeds, w2c, target, cam_pose
+                    )
+
+                fn = batched_fn
+            else:
+                fn = jax.vmap(single, in_axes=(None, None, 0, 0, None, None))
+        return fn
+
+    def run_recipe(
+        self,
+        stages,
+        target: TargetBundle,
+        tgt_crop: jnp.ndarray,
+        lookup_sqrt: jnp.ndarray,
+        lookup_angles: jnp.ndarray,
+        topk: int = 1,
+        jacobi: bool = False,
+        batched: bool = False,
+        history_length: int = 5,
+    ) -> jnp.ndarray:
+        """Run a whole stage recipe as one fused device dispatch -> angles."""
+        f = self._recipe_jit(
+            _stage_key(stages), topk, jacobi, batched, history_length
+        )
+        return f(
+            self._w2c,
+            jnp.asarray(self.camera_pose, jnp.float32),
+            target,
+            tgt_crop,
+            lookup_sqrt,
+            lookup_angles,
+        )

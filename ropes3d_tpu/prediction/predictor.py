@@ -169,7 +169,13 @@ class Predictor:
         )
 
     def _prepare_synthetic_device(self):
-        """Build the jitted device-resident synthetic target preparation.
+        import jax as _jax
+
+        return _jax.jit(self._synth_prep_core())
+
+    def _synth_prep_core(self):
+        """Build the device-resident synthetic target preparation (unjitted
+        core, composable into larger fused programs).
 
         Equivalent to downsample+color-equality mask recovery
         (predict.py:445-469) but from the renderer's (depth, link_id) maps:
@@ -190,18 +196,18 @@ class Predictor:
         # bit-identical to the reference's color-equality path — including
         # its quirks (base blue 0 == background; 2x2-average collisions
         # where blended colors round to another link's blue).
-        blues = jnp.asarray(
-            [0.0] + [float(c[0]) for c in DEFAULT_RENDER_COLORS[:6]], jnp.float32
-        )  # index 0 = background
+        blues = np.asarray(
+            [0.0] + [float(c[0]) for c in DEFAULT_RENDER_COLORS[:6]], np.float32
+        )  # index 0 = background (numpy: closure may build inside a trace)
 
-        @jax.jit
         def prep(depth_full, lid_full):
+            blues_j = jnp.asarray(blues)
             depth = ds(depth_full, f)
-            blue_full = blues[lid_full + 1]
+            blue_full = blues_j[lid_full + 1]
             blue = jnp.round(ds(blue_full, f))
 
             def link_mask(i):
-                return blue == jnp.round(blues[i + 1])
+                return blue == jnp.round(blues_j[i + 1])
 
             masks = jax.vmap(link_mask)(jnp.arange(6))
             present = masks.any(axis=(1, 2))
@@ -379,12 +385,39 @@ class Predictor:
         """Run the staged search; the only device->host transfer is the
         final angles read-back (critical on remote-attached TPUs).
 
-        With ``batch`` = F, every stage runs vmapped over F frames
+        The whole recipe executes as ONE fused device program
+        (``CandidateEvaluator.run_recipe``): lookup init, perspective
+        flips, sweeps, and descent trace into a single XLA executable —
+        versus the reference's ~10 interleaved Python/GPU dispatches per
+        frame (robotpose/prediction/predict.py:159-374).
+
+        With ``batch`` = F, the recipe runs vmapped over F frames
         simultaneously — the workload's data-parallel axis (SURVEY.md §2.9).
         With ``lookup_topk`` > 1 (single-frame mode), the top-k lookup seeds
         refine as a hypothesis batch instead and the best final error wins.
+        Preview mode falls back to the per-stage loop so intermediate
+        states can be visualised.
         """
         self._setStages()
+        if self.preview:
+            return self._run_stages_stepwise(batch)
+        with self.timer.stage("stages_fused"):
+            angles = self.engine.run_recipe(
+                self.stages,
+                self._target,
+                self._tgt_lookup_crop,
+                self.lookup_depth,
+                self.lookup_angles,
+                topk=self.lookup_topk if batch is None else 1,
+                jacobi=self.search_mode == "fast",
+                batched=batch is not None,
+                history_length=self.history_length,
+            )
+        return np.asarray(angles, dtype=float)
+
+    def _run_stages_stepwise(self, batch: Optional[int] = None) -> np.ndarray:
+        """Per-stage dispatch loop (preview/debug path; also the reference
+        execution shape, one dispatch per stage)."""
         hypotheses = self.lookup_topk if (batch is None and self.lookup_topk > 1) else None
         if hypotheses:
             state = SearchState.fresh_batch(hypotheses, self.history_length)

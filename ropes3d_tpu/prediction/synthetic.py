@@ -53,13 +53,66 @@ class SyntheticPredictor:
             depth = self.noise.holes(depth)
             predicted = self.predictor.run(color, depth)
         else:
-            # Device fast path: the rendered (depth, link-id) maps never
-            # leave the accelerator; one host transfer per frame.
-            depth, lid = self.renderer.render_batch_angles(
-                np.asarray(pose, np.float32)[None]
+            # Fully-fused device path: ground-truth render -> target prep ->
+            # staged search compile into ONE program, so a frame is a single
+            # dispatch + a 6-float read-back (the read-back round trip
+            # dominates on remote-attached chips).
+            import jax.numpy as jnp
+
+            if not hasattr(self, "_fused"):
+                self._fused = self._build_fused()
+            p = self.predictor
+            predicted = np.asarray(
+                self._fused(
+                    jnp.asarray(pose, jnp.float32),
+                    p.lookup_depth,
+                    p.lookup_angles,
+                ),
+                dtype=float,
             )
-            predicted = self.predictor.run_synthetic(depth[0], lid[0])
         return pose, predicted
+
+    def _build_fused(self):
+        """Compose render + prep + recipe into one jitted program."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.rasterizer import render_batch
+        from .engine import _stage_key
+
+        rend, p = self.renderer, self.predictor
+        p._setStages()
+        recipe = p.engine._recipe_fn(
+            _stage_key(p.stages),
+            p.lookup_topk,
+            p.search_mode == "fast",
+            False,
+            p.history_length,
+        )
+        prep = p._synth_prep_core()
+        h, w = rend.resolution
+        num_links = rend.num_links
+        link_mask = np.ones(num_links, bool)
+        fk = rend._fk
+        verts, ids, valid = rend._verts, rend._link_ids, rend._valid
+        w2c_full = rend._w2c
+        intrin_full = np.asarray(rend._intrin_vec)
+        cam_vec = jnp.asarray(p.camera_pose, jnp.float32)
+
+        @jax.jit
+        def fused(pose, lookup_depth, lookup_angles):
+            poses = fk(pose[None])[:, :num_links]
+            depth, lid = render_batch(
+                poses, jnp.asarray(link_mask), verts, ids, valid,
+                w2c_full, jnp.asarray(intrin_full), h, w,
+            )
+            bundle, crop = prep(depth[0], lid[0])
+            return recipe(
+                p.engine._w2c, cam_vec, bundle, crop, lookup_depth,
+                lookup_angles,
+            )
+
+        return fused
 
     def _generatePose(self) -> np.ndarray:
         lim = self.urdf_reader.joint_limits

@@ -41,6 +41,7 @@ class Aligner:
         self.step_idx = 2
         self.section = 0
         self.idx = self.sections[0][0]
+        self.zoom = 1.0  # display zoom about the image center
 
     # ------------------------------------------------------------ sections
     @property
@@ -103,9 +104,28 @@ class Aligner:
         for i in range(a, b):
             self.ds.setCameraPose(i, pose)
 
-    def copy_pose_from(self, other_dataset: str) -> None:
+    def copy_pose_from(self, other_dataset: str, section: int = 0) -> None:
+        """Adopt another dataset's camera pose for the current section
+        (reference AlignerGUI 'copy pose from other dataset',
+        render.py:413-500)."""
         other = Dataset(other_dataset)
-        self.save_pose(np.array(other.camera_pose[0]))
+        poses = np.asarray(other.camera_pose)
+        starts = [0]
+        for i in range(1, len(poses)):
+            if not np.allclose(poses[i], poses[starts[-1]]):
+                starts.append(i)
+        section = int(np.clip(section, 0, len(starts) - 1))
+        self.save_pose(np.array(poses[starts[section]]))
+
+    def set_pose(self, pose) -> None:
+        """Direct numeric pose entry for the current section (reference
+        AlignerGUI pose-entry fields, render.py:440-470)."""
+        pose = np.asarray(pose, float)
+        assert pose.shape == (6,), "camera pose must be 6 values (xyz rpy)"
+        self.save_pose(pose)
+
+    def set_zoom(self, zoom: float) -> None:
+        self.zoom = float(np.clip(zoom, 1.0, 8.0))
 
     # ------------------------------------------------------------ display
     def overlay(self, alpha: float = 0.6) -> np.ndarray:
@@ -117,7 +137,16 @@ class Aligner:
             import cv2
 
             color = cv2.resize(color, (img.shape[1], img.shape[0]))
-        return (alpha * img + (1 - alpha) * color).astype(np.uint8)
+        out = (alpha * img + (1 - alpha) * color).astype(np.uint8)
+        if self.zoom > 1.0:
+            h, w = out.shape[:2]
+            ch, cw = int(h / self.zoom / 2), int(w / self.zoom / 2)
+            cy, cx = h // 2, w // 2
+            crop = out[cy - ch : cy + ch, cx - cw : cx + cw]
+            import cv2
+
+            out = cv2.resize(crop, (w, h), interpolation=cv2.INTER_NEAREST)
+        return out
 
     def run(self) -> None:
         """Interactive matplotlib loop (WASD... keys; arrows change frame)."""
@@ -142,6 +171,27 @@ class Aligner:
                 self.goto(self.idx - 1)
             elif event.key in ("pageup", "pagedown"):
                 self.goto_section(self.section + (1 if event.key == "pagedown" else -1))
+            elif event.key == "[":
+                self.set_zoom(self.zoom / 1.5)
+            elif event.key == "]":
+                self.set_zoom(self.zoom * 1.5)
+            elif event.key == "p":
+                # Direct pose entry via the launching terminal.
+                try:
+                    vals = input("pose (x y z r p y): ").split()
+                    self.set_pose([float(v) for v in vals])
+                except (ValueError, AssertionError) as e:
+                    print(f"bad pose: {e}")
+            elif event.key == "c":
+                try:
+                    self.copy_pose_from(input("copy pose from dataset: "))
+                except Exception as e:
+                    print(f"copy failed: {e}")
+            elif event.key == "i":
+                try:
+                    self.goto(int(input("goto frame: ")))
+                except ValueError:
+                    pass
             else:
                 self.move(event.key or "")
             im.set_data(self.overlay()[..., ::-1])

@@ -95,6 +95,47 @@ def synth_detection_batch(
     return {"images": images, "boxes": boxes, "classes": classes, "masks": masks}
 
 
+def set_base_model(ckpt_path: str) -> None:
+    """Atomically point ``Paths().BASE_MODEL`` at a checkpoint directory.
+
+    The link is *relative* so it survives clone relocation (the round-1
+    absolute symlink dangled on fresh clones).  Replaces the reference's
+    downloaded ``mask_rcnn_coco.h5`` base artifact
+    (robotpose/training/__init__.py:10-15).
+    """
+    base = Paths().BASE_MODEL
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    rel = os.path.relpath(os.path.abspath(ckpt_path), os.path.dirname(base))
+    tmp = base + ".tmp"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(rel, tmp)
+    os.replace(tmp, base)
+
+
+def resolve_base_model() -> Optional[str]:
+    """Resolve the base segmentation checkpoint for fine-tuning.
+
+    Order: a valid ``Paths().BASE_MODEL`` link/dir; else the newest
+    checkpoint of the bundled ``models/boot`` model; else None.  Never
+    raises — callers decide whether a missing base is fatal (the reference
+    downloads its base lazily, training/__init__.py:10-15).
+    """
+    base = Paths().BASE_MODEL
+    if os.path.isdir(base):  # follows symlinks; dangling links fail this
+        return os.path.realpath(base)
+    boot = os.path.join(Paths().MODELS, "boot")
+    if os.path.isdir(boot):
+        epochs = sorted(
+            int(f.split("_")[1])
+            for f in os.listdir(boot)
+            if f.startswith("ckpt_") and f.split("_")[1].isdigit()
+        )
+        if epochs:
+            return os.path.join(boot, f"ckpt_{epochs[-1]:04d}")
+    return None
+
+
 def bootstrap_base_model(
     num_steps: int = 200,
     batch: int = 4,
@@ -129,11 +170,7 @@ def bootstrap_base_model(
                 + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items())
             )
     path = trainer.save(0)
-    base = Paths().BASE_MODEL
-    if os.path.islink(base) or os.path.isfile(base):
-        os.remove(base)
-    if not os.path.exists(base):
-        os.symlink(path, base)
+    set_base_model(path)
     import json
 
     with open(os.path.join(out_dir, "model_config.json"), "w") as f:

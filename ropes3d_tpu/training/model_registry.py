@@ -185,3 +185,52 @@ class ModelManager(ModelInfo):
         # Most recent wins ties.
         name = max(cands, key=lambda n: cands[n].get("date", ""))
         return self.loadByID(name)
+
+
+class ModelTree:
+    """Model browser tree grouped by dataset (reference models.py:332-382).
+
+    The reference renders a PySimpleGUI ``Tree`` for the Wizard's Prediction
+    tab; here the same structure is a plain nested dict plus a text
+    rendering, so it works headless and under any front-end.  Supports
+    select-by-key and delete, matching the reference tree's delete flow
+    (wizards.py:241-260).
+    """
+
+    def __init__(self):
+        self.info = ModelInfo()
+
+    @property
+    def tree(self) -> dict:
+        """{dataset: {model_id: metadata}} sorted by dataset then date."""
+        out: dict = {}
+        for name, m in self.info.data.items():
+            out.setdefault(m.get("dataset", "?"), {})[name] = m
+        return {
+            ds: dict(
+                sorted(models.items(), key=lambda kv: kv[1].get("date", ""))
+            )
+            for ds, models in sorted(out.items())
+        }
+
+    def render(self) -> str:
+        lines = []
+        for ds, models in self.tree.items():
+            lines.append(ds)
+            for name, m in models.items():
+                lines.append(
+                    f"  └ {name}  epochs={m.get('epochs_trained', 0)}"
+                    f"  classes={m.get('num_classes', '?')}"
+                    f"  {m.get('date', '')[:19]}"
+                )
+        return "\n".join(lines) if lines else "(no models)"
+
+    def get(self, model_id: str) -> Optional[dict]:
+        return self.info.data.get(model_id)
+
+    def delete(self, model_id: str) -> bool:
+        if model_id not in self.info.data:
+            return False
+        shutil.rmtree(self.info.data[model_id]["path"], ignore_errors=True)
+        self.info.update()
+        return True

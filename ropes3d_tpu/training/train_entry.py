@@ -56,10 +56,33 @@ def train(
     if cont or cont_from:
         criteria = {"dataset": dataset} if not cont_from else {"id": cont_from}
         resume_ckpt = mm.dynamicLoad(**criteria)
+    if resume_ckpt is None and not tiny:
+        # Start from the bundled base model, mirroring the reference's
+        # COCO-base default (train.py:46; base from training/__init__.py).
+        from .bootstrap import resolve_base_model
+
+        resume_ckpt = resolve_base_model()
 
     anno_dir = os.path.join(ds.link_anno_path, "train")
     if tiny:
         cfg = MaskRCNNConfig.tiny(num_classes=len(classes))
+    elif resume_ckpt is not None:
+        # Continue-from requires architectural parity: adopt the base
+        # checkpoint's own config (depth / image size / head shapes).
+        cfg_file = os.path.join(
+            os.path.dirname(os.path.abspath(resume_ckpt)), "model_config.json"
+        )
+        if os.path.isfile(cfg_file):
+            with open(cfg_file) as f:
+                raw = json.load(f)
+            raw["image_hw"] = tuple(raw["image_hw"])
+            if "anchor_scales" in raw:
+                raw["anchor_scales"] = tuple(raw["anchor_scales"])
+            cfg = MaskRCNNConfig(**raw)
+        else:
+            cfg = MaskRCNNConfig(
+                num_classes=len(classes), depth=depth, image_hw=tuple(image_hw)
+            )
     else:
         cfg = MaskRCNNConfig(
             num_classes=len(classes), depth=depth, image_hw=tuple(image_hw)

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("ROPES3D_ROOT", _REPO)
 os.environ["ROPES3D_REPO"] = _REPO  # stable anchor; fixtures re-point ROPES3D_ROOT
+# Persistent XLA compilation cache — this box can be a single CPU core where
+# big compiles (Mask R-CNN step, fused stage recipes) take minutes each.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 
