@@ -105,6 +105,41 @@ def link_error_batch(
     )
 
 
+def link_error_from_parts(
+    parts: jnp.ndarray,  # [B, 18] kernel partials (rasterizer_pallas)
+    target: TargetBundle,
+    link_active: jnp.ndarray,  # [6] bool
+    num_pixels: int,
+) -> jnp.ndarray:
+    """Assemble the exact reference error from fused-kernel partial sums.
+
+    Numerically identical to :func:`link_error` on the rendered maps: the
+    kernel emits, per candidate, the per-link xor counts / masked-depth
+    |diff| sums / nonzero counts and the global diff (sum, nonzero count,
+    sum of squares); everything else is target-side statistics computed
+    here (predict.py:475-509 formula parity).
+    """
+    P = float(num_pixels)
+    xor = parts[:, 0:5]
+    s_ad = parts[:, 5:10]
+    c_ad = parts[:, 10:15]
+    sd, cd, sd2 = parts[:, 15], parts[:, 16], parts[:, 17]
+
+    score = link_active[1:] & target.present[1:]  # [5]
+    tgt_nz = jnp.sum(target.masked_depth[1:] != 0, axis=(1, 2))
+    tmask_sum = jnp.sum(target.masks[1:], axis=(1, 2))
+    enough = tgt_nz > 0.05 * tmask_sum  # [5]
+
+    mask_errs = xor / P * 5.0
+    mean_nz = s_ad / jnp.maximum(c_ad, 1.0)
+    depth_errs = jnp.where(enough[None] & (c_ad > 0), mean_nz * 10.0, 0.0)
+    err = jnp.sum(jnp.where(score[None], mask_errs + depth_errs, 0.0), axis=1)
+
+    gmean = jnp.where(cd > 0, sd / jnp.maximum(cd, 1.0), 0.0)
+    gstd = jnp.sqrt(jnp.maximum(sd2 / P - (sd / P) ** 2, 0.0))
+    return err + gmean * gstd
+
+
 def lookup_error(tgt_sqrt: jnp.ndarray, lookup_sqrt: jnp.ndarray) -> jnp.ndarray:
     """Lookup-stage candidate error: err[N] = mean(|diff|) * std(|diff|).
 

@@ -26,17 +26,20 @@ def cubic_spline_uniform(lo, hi, y: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     n = y.shape[0]
     h = (hi - lo) / (n - 1)
 
-    # Solve for second derivatives M with not-a-knot boundary conditions.
+    # Second derivatives M with not-a-knot boundary conditions.  The system
+    # matrix depends only on n (knots are uniform), so its inverse is a
+    # compile-time numpy constant — a tiny on-device linalg.solve has a
+    # millisecond-scale fixed cost on TPU that would dominate sweep stages.
     A = np.zeros((n, n))
     A[0, 0], A[0, 1], A[0, 2] = 1.0, -2.0, 1.0
     A[-1, -3], A[-1, -2], A[-1, -1] = 1.0, -2.0, 1.0
     for i in range(1, n - 1):
         A[i, i - 1], A[i, i], A[i, i + 1] = 1.0, 4.0, 1.0
-    A = jnp.asarray(A, y.dtype)
+    Ainv = np.linalg.inv(A)
     b = jnp.zeros(n, y.dtype)
     interior = 6.0 * (y[2:] - 2.0 * y[1:-1] + y[:-2]) / (h * h)
     b = b.at[1:-1].set(interior)
-    M = jnp.linalg.solve(A, b)
+    M = jnp.asarray(Ainv, y.dtype) @ b
 
     # Segment lookup (uniform spacing).
     idx = jnp.clip(jnp.floor((t - lo) / h).astype(jnp.int32), 0, n - 2)

@@ -265,17 +265,41 @@ def render_batch(
     if chunk is None:
         chunk = max(64, min(512, _INTERMEDIATE_BUDGET_ELEMS // (group * 4 * P) // 64 * 64))
 
-    def one(poses):
+    def setup(poses):
         cam_verts = transform_vertices(scene_verts, scene_link_ids, poses, world_to_cam)
         valid = scene_valid & link_mask[scene_link_ids]
-        coeffs, qrange, vrange, _ = triangle_setup(cam_verts, valid, fx, fy, cx, cy)
-        if backend == "pallas":
-            from .rasterizer_pallas import rasterize_pallas
+        return triangle_setup(cam_verts, valid, fx, fy, cx, cy)
 
-            return rasterize_pallas(
+    if backend == "pallas":
+        # Candidate axis lives in the kernel grid — ONE pallas launch per
+        # group regardless of B (rasterizer_pallas.rasterize_pallas_batch).
+        from .rasterizer_pallas import rasterize_pallas_batch
+
+        def raster_group(poses_group):
+            coeffs, qrange, vrange, _ = jax.vmap(setup)(poses_group)
+            return rasterize_pallas_batch(
                 coeffs, qrange, vrange, scene_link_ids.astype(jnp.int32),
                 h, w, row0, col0,
             )
+
+        # Bound the [group, H', W'] key intermediate; much larger groups are
+        # fine since the kernel holds only one tile in VMEM at a time.
+        pgroup = min(B, max(8, _INTERMEDIATE_BUDGET_ELEMS // (4 * P)))
+        pad = (-B) % pgroup
+        padded = (
+            jnp.concatenate([link_poses, link_poses[:1].repeat(pad, 0)], 0)
+            if pad
+            else link_poses
+        )
+        grouped = padded.reshape(-1, pgroup, *link_poses.shape[1:])
+        if grouped.shape[0] == 1:
+            depth, lid = raster_group(grouped[0])
+            return depth[:B], lid[:B]
+        depth, lid = jax.lax.map(raster_group, grouped)
+        return depth.reshape(-1, h, w)[:B], lid.reshape(-1, h, w)[:B]
+
+    def one(poses):
+        coeffs, qrange, vrange, _ = setup(poses)
         return rasterize(
             coeffs, qrange, scene_link_ids, h, w, row0, col0, chunk=chunk
         )

@@ -60,7 +60,7 @@ class CameraPoseEngine:
             jnp.float32,
         )
         loader = MeshLoader(max_tris_per_link=max_tris_per_link, urdf=self.u_reader)
-        v, ids, valid = loader.scene.flat()
+        v, ids, valid = loader.scene.flat_packed()
         self._verts = jnp.asarray(v)
         self._ids = jnp.asarray(ids)
         self._valid = jnp.asarray(valid)

@@ -124,7 +124,12 @@ class CandidateEvaluator:
         self._packed = packed
         self.num_links = packed.num_links
         self._tris_per_link = packed.tris_per_link
-        v, ids, valid = packed.flat()
+        # Compacted triangle soup (no per-link padding slots): ~40% less
+        # setup/raster work per candidate on the MH5L scene.  Link ids stay
+        # ascending, so per-stage link truncation is a static searchsorted
+        # slice (_scene_slice).
+        v, ids, valid = packed.flat_packed()
+        self._np_link_ids = ids
         self._verts = jnp.asarray(v)
         self._link_ids = jnp.asarray(ids)
         self._valid = jnp.asarray(valid)
@@ -144,7 +149,8 @@ class CandidateEvaluator:
 
     # ------------------------------------------------------------ core eval
     def _scene_slice(self, to_render: int):
-        n = min(to_render, self.num_links) * self._tris_per_link
+        L = min(to_render, self.num_links)
+        n = int(np.searchsorted(self._np_link_ids, L))
         return self._verts[:n], self._link_ids[:n], self._valid[:n]
 
     def _render_fn(self, to_render: int):
@@ -169,8 +175,40 @@ class CandidateEvaluator:
         return render
 
     def _eval_fn(self, to_render: int):
-        render = self._render_fn(to_render)
         link_active = (np.arange(6) >= 1) & (np.arange(6) < to_render)
+
+        if jax.default_backend() not in ("cpu", "gpu"):
+            # TPU: fused raster+error kernel — one launch per eval, no
+            # [B, H, W] HBM round trip (the inner loop of every stage).
+            from ..ops.error import link_error_from_parts
+            from ..ops.rasterizer import transform_vertices, triangle_setup
+            from ..ops.rasterizer_pallas import rasterize_error_pallas
+
+            verts, ids, valid = self._scene_slice(to_render)
+            L = min(to_render, self.num_links)
+            fk = self._fk
+            h, w = self.h, self.w
+            fx, fy, cx, cy = [float(x) for x in np.asarray(self._intrin_vec)]
+
+            def eval_batch(angles, w2c, target: TargetBundle):
+                poses = fk(angles)[:, :L]
+
+                def setup(p):
+                    cam_verts = transform_vertices(verts, ids, p, w2c)
+                    return triangle_setup(cam_verts, valid, fx, fy, cx, cy)
+
+                coeffs, qrange, vrange, _ = jax.vmap(setup)(poses)
+                parts = rasterize_error_pallas(
+                    coeffs, qrange, vrange, ids.astype(jnp.int32),
+                    target.masks, target.masked_depth, target.depth, h, w,
+                )
+                return link_error_from_parts(
+                    parts, target, jnp.asarray(link_active), h * w
+                )
+
+            return eval_batch
+
+        render = self._render_fn(to_render)
 
         def eval_batch(angles, w2c, target: TargetBundle):
             depth, lid = render(angles, w2c)
@@ -627,10 +665,10 @@ class CandidateEvaluator:
 
     @functools.lru_cache(maxsize=16)
     def _recipe_jit(self, key, topk, jacobi, batched, history_length,
-                    final_render: int = 6):
+                    final_render: int = 6, seeded: bool = False):
         return jax.jit(
             self._recipe_fn(key, topk, jacobi, batched, history_length,
-                            final_render)
+                            final_render, seeded)
         )
 
     @functools.lru_cache(maxsize=16)
@@ -642,6 +680,7 @@ class CandidateEvaluator:
         batched: bool,
         history_length: int,
         final_render: int = 6,
+        seeded: bool = False,
     ):
         """Compile an entire stage recipe into ONE device program.
 
@@ -694,6 +733,35 @@ class CandidateEvaluator:
             return state.angles
 
         eval6 = self._eval_fn(final_render)
+
+        if seeded:
+            # Seeded variant: the lookup argmin has already run as its own
+            # dispatch (required when the lookup stack is sharded across
+            # devices — embedding the cross-device all-gather inside this
+            # while-loop-heavy program lets GSPMD partition the whole
+            # recipe, which can deadlock XLA:CPU's collective rendezvous
+            # on small hosts and wastes multi-chip cycles re-running the
+            # replicated search on every device).  All inputs here are
+            # replicated/single-device; the program is collective-free.
+            assert not pre, "seeded recipe requires lookup-first stages"
+
+            def single_seeded(w2c, cam_pose, target, seeds):
+                if topk > 1:
+                    all_angles = jax.vmap(
+                        run_post, in_axes=(0, None, None, None)
+                    )(seeds, w2c, target, cam_pose)
+                    errs = eval6(all_angles, w2c, target)
+                    return all_angles[jnp.argmin(errs)]
+                return run_post(seeds, w2c, target, cam_pose)
+
+            if batched:
+                return jax.vmap(
+                    lambda w2c, cam_pose, target, seed: run_post(
+                        seed, w2c, target, cam_pose
+                    ),
+                    in_axes=(None, None, 0, 0),
+                )
+            return single_seeded
 
         def single(w2c, cam_pose, target, tgt_crop, lookup_sqrt, lookup_angles):
             state = SearchState.fresh(history_length)
@@ -748,10 +816,45 @@ class CandidateEvaluator:
         batched: bool = False,
         history_length: int = 5,
     ) -> jnp.ndarray:
-        """Run a whole stage recipe as one fused device dispatch -> angles."""
-        f = self._recipe_jit(
-            _stage_key(stages), topk, jacobi, batched, history_length
+        """Run a whole stage recipe as one fused device dispatch -> angles.
+
+        When the lookup stack is sharded across devices, the lookup argmin
+        runs as its own (collective-bearing) dispatch and the rest of the
+        recipe runs seeded and collective-free — see the seeded branch of
+        :meth:`_recipe_fn` for why.
+        """
+        key = _stage_key(stages)
+        sharding = getattr(lookup_sqrt, "sharding", None)
+        multi = (
+            sharding is not None
+            and len(getattr(sharding, "device_set", ())) > 1
         )
+        has_lookup = any(sk[0] == "lookup" for sk in key)
+        if multi and has_lookup and key[0][0] == "lookup":
+            if batched:
+                seeds = self.lookup_select_batch(
+                    tgt_crop, lookup_sqrt, lookup_angles
+                )
+            elif topk > 1:
+                seeds = self.lookup_select_topk(
+                    tgt_crop, lookup_sqrt, lookup_angles, topk
+                )
+            else:
+                seeds = self.lookup_select(tgt_crop, lookup_sqrt, lookup_angles)
+            # Host round-trip of <=k*24 bytes: re-uploads the seeds as an
+            # uncommitted single-device constant so the seeded program
+            # stays off the lookup mesh entirely.
+            seeds = jnp.asarray(np.asarray(seeds), jnp.float32)
+            f = self._recipe_jit(
+                key, topk, jacobi, batched, history_length, seeded=True
+            )
+            return f(
+                self._w2c,
+                jnp.asarray(self.camera_pose, jnp.float32),
+                target,
+                seeds,
+            )
+        f = self._recipe_jit(key, topk, jacobi, batched, history_length)
         return f(
             self._w2c,
             jnp.asarray(self.camera_pose, jnp.float32),

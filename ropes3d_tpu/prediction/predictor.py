@@ -223,14 +223,55 @@ class Predictor:
 
     def run_synthetic(self, depth_full, lid_full) -> np.ndarray:
         """Device-to-device fast path: full-res (depth, link-id) render maps
-        in, joint angles out — one host transfer per frame."""
-        if not hasattr(self, "_synth_prep"):
-            self._synth_prep = self._prepare_synthetic_device()
-        with self.timer.stage("target_load"):
-            self._target, self._tgt_lookup_crop = self._synth_prep(
-                jnp.asarray(depth_full), jnp.asarray(lid_full)
+        in, joint angles out.
+
+        Target preparation AND the whole stage recipe compile into ONE
+        program, so a frame costs a single dispatch plus the 6-float
+        read-back (the read-back round trip dominates on remote-attached
+        chips)."""
+        if self._lookup_mesh is not None:
+            # Sharded lookup stack: the recipe must split into a
+            # collective-bearing lookup dispatch + a seeded search program
+            # (engine.run_recipe does this) — device prep, then the split
+            # recipe.  The all-in-one fusion below is the single-chip path.
+            if not hasattr(self, "_synth_prep"):
+                self._synth_prep = self._prepare_synthetic_device()
+            with self.timer.stage("target_load"):
+                self._target, self._tgt_lookup_crop = self._synth_prep(
+                    jnp.asarray(depth_full), jnp.asarray(lid_full)
+                )
+            return self._run_stages()
+        key = (self.search_mode, self.lookup_topk, tuple(self.camera_pose))
+        if getattr(self, "_synth_run_key", None) != key:
+            from .engine import _stage_key
+
+            self._setStages()
+            prep = self._synth_prep_core()
+            recipe = self.engine._recipe_fn(
+                _stage_key(self.stages),
+                self.lookup_topk,
+                self.search_mode == "fast",
+                False,
+                self.history_length,
             )
-        return self._run_stages()
+            w2c = self.engine._w2c
+            cam_vec = jnp.asarray(self.camera_pose, jnp.float32)
+
+            @jax.jit
+            def run1(depth_full, lid_full, lookup_depth, lookup_angles):
+                bundle, crop = prep(depth_full, lid_full)
+                return recipe(
+                    w2c, cam_vec, bundle, crop, lookup_depth, lookup_angles
+                )
+
+            self._synth_run = run1
+            self._synth_run_key = key
+        with self.timer.stage("synthetic_fused"):
+            out = self._synth_run(
+                jnp.asarray(depth_full), jnp.asarray(lid_full),
+                self.lookup_depth, self.lookup_angles,
+            )
+        return np.asarray(out, dtype=float)
 
     # ------------------------------------------------------------ batched
     def run_batch(self, target_colors, target_depths, camera_pose=None) -> np.ndarray:

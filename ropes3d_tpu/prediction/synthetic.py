@@ -59,17 +59,25 @@ class SyntheticPredictor:
             # dominates on remote-attached chips).
             import jax.numpy as jnp
 
-            if not hasattr(self, "_fused"):
-                self._fused = self._build_fused()
             p = self.predictor
-            predicted = np.asarray(
-                self._fused(
-                    jnp.asarray(pose, jnp.float32),
-                    p.lookup_depth,
-                    p.lookup_angles,
-                ),
-                dtype=float,
-            )
+            if p._lookup_mesh is not None:
+                # Sharded lookup: render device maps, then the predictor's
+                # split (lookup dispatch + seeded recipe) path.
+                d, l = self.renderer.render_batch_angles(
+                    np.asarray(pose, np.float32)[None]
+                )
+                predicted = p.run_synthetic(d[0], l[0])
+            else:
+                if not hasattr(self, "_fused"):
+                    self._fused = self._build_fused()
+                predicted = np.asarray(
+                    self._fused(
+                        jnp.asarray(pose, jnp.float32),
+                        p.lookup_depth,
+                        p.lookup_angles,
+                    ),
+                    dtype=float,
+                )
         return pose, predicted
 
     def _build_fused(self):

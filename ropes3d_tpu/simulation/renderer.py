@@ -58,7 +58,7 @@ class Renderer:
             include_t=include_t, max_tris_per_link=max_tris_per_link, urdf=self.u_reader
         )
         packed = self._loader.scene
-        v, ids, valid = packed.flat()
+        v, ids, valid = packed.flat_packed()
         self._verts = jnp.asarray(v)
         self._link_ids = jnp.asarray(ids)
         self._valid = jnp.asarray(valid)

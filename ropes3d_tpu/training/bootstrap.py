@@ -136,6 +136,125 @@ def resolve_base_model() -> Optional[str]:
     return None
 
 
+def bootstrap_base_model_device(
+    num_steps: int = 8000,
+    batch: int = 4,
+    cfg: Optional[MaskRCNNConfig] = None,
+    peak_lr: float = 8e-3,
+    warmup_steps: int = 300,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    base_intrin: str = "1280_720_color",
+    camera_jitter: float = 0.15,
+    log_every: int = 50,
+    ckpt_every: int = 1000,
+    resume_from: Optional[str] = None,
+) -> str:
+    """Pretrain the base segmenter with the on-device domain-randomized
+    pipeline (``synth_data.DeviceSynthPipeline``) and a warmup-cosine SGD
+    schedule.  Defaults to reference architecture parity: ResNet-101 at
+    512x512 (train.py:48-50).  Returns the checkpoint path."""
+    import json
+
+    import jax
+    import optax
+
+    from .synth_data import DeviceSynthPipeline
+    from .train_loop import Trainer
+
+    cfg = cfg or MaskRCNNConfig(num_classes=7, depth=101)
+    pipeline = DeviceSynthPipeline(
+        cfg, base_intrin=base_intrin, camera_jitter=camera_jitter
+    )
+    out_dir = out_dir or os.path.dirname(Paths().BASE_MODEL)
+    os.makedirs(out_dir, exist_ok=True)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, peak_lr, warmup_steps, num_steps
+    )
+    trainer = Trainer(cfg, out_dir, mesh=None, lr=sched, seed=seed)
+    if resume_from:
+        trainer.load(resume_from)
+    with open(os.path.join(out_dir, "model_config.json"), "w") as f:
+        json.dump(
+            {
+                "num_classes": cfg.num_classes,
+                "depth": cfg.depth,
+                "image_hw": list(cfg.image_hw),
+                "max_gt": cfg.max_gt,
+                "pre_nms_topk": cfg.pre_nms_topk,
+                "num_proposals": cfg.num_proposals,
+                "roi_size": cfg.roi_size,
+                "mask_roi_size": cfg.mask_roi_size,
+                "max_detections": cfg.max_detections,
+                "anchor_scales": list(cfg.anchor_scales),
+            },
+            f,
+        )
+    key = jax.random.PRNGKey(seed + 1)
+    ck = 0
+    for step in range(1, num_steps + 1):
+        key, sub = jax.random.split(key)
+        b = pipeline.batch(sub, batch)
+        metrics = trainer.train_step(b)
+        if step % log_every == 0:
+            print(
+                f"bootstrap-dev step {step}/{num_steps}: "
+                + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()),
+                flush=True,
+            )
+        if step % ckpt_every == 0 or step == num_steps:
+            ck += 1
+            path = trainer.save(ck)
+            set_base_model(path)
+    return path
+
+
+def eval_segmenter_iou(
+    ckpt_path: str,
+    n: int = 32,
+    cluttered: bool = True,
+    seed: int = 123,
+    base_intrin: str = "1280_720_color",
+) -> float:
+    """Mean per-link IoU of a segmenter checkpoint on held-out synthetic
+    scenes (domain-randomized when ``cluttered``; plain shaded renders on a
+    random background otherwise)."""
+    import jax
+
+    from ..models.inference import Segmenter
+    from .synth_data import DeviceSynthPipeline, IMAGENET_MEAN, IMAGENET_STD
+
+    urdf = URDFReader()
+    seg = Segmenter(ckpt_path, ["BG"] + urdf.mesh_names[:6])
+    pipeline = DeviceSynthPipeline(
+        seg.cfg,
+        urdf=urdf,
+        base_intrin=base_intrin,
+        num_distractors=6 if cluttered else 0,
+    )
+    key = jax.random.PRNGKey(seed)
+    ious = []
+    for i in range(0, n, 4):
+        key, sub = jax.random.split(key)
+        b = pipeline.batch(sub, 4)
+        imgs = np.asarray(b["images"]) * IMAGENET_STD + IMAGENET_MEAN
+        for j in range(4):
+            gt_masks = np.asarray(b["masks"][j]) > 0.5
+            gt_cls = np.asarray(b["classes"][j])
+            per_link, _ = seg.segment(np.clip(imgs[j], 0, 255).astype(np.uint8))
+            for g in range(len(gt_cls)):
+                if gt_cls[g] == 0:
+                    continue
+                name = seg.class_names[gt_cls[g]]
+                pred = per_link.get(name, {}).get(
+                    "mask", np.zeros(gt_masks[g].shape, bool)
+                )
+                union = (gt_masks[g] | pred).sum()
+                if union:
+                    ious.append((gt_masks[g] & pred).sum() / union)
+    return float(np.mean(ious)) if ious else 0.0
+
+
 def bootstrap_base_model(
     num_steps: int = 200,
     batch: int = 4,

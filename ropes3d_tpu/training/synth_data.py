@@ -1,0 +1,217 @@
+"""Device-side synthetic training-data pipeline for the segmenter.
+
+The reference fine-tunes from a COCO-pretrained Mask R-CNN downloaded off
+the network (robotpose/training/__init__.py:10-15).  With no network and no
+real-photo corpus, the TPU build closes the sim-to-real gap with *domain
+randomization* instead: shaded robot renders with random per-link tints,
+random camera jitter, cluttered random backgrounds (gradients, shapes,
+noise), and photometric jitter — composed **entirely on device**.  The
+single-core host only drives the step loop; every pixel of every training
+batch is rendered, composited and annotated by XLA (a host generator
+bottlenecks a 512x512 ResNet-101 step hopelessly).
+
+Round-1 negative result honoured (ROADMAP): wide camera-pose jitter trades
+in-distribution IoU — jitter defaults stay at 0.15 with targeted appearance
+randomization instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CAMERA_POSE
+from ..camera import Intrinsics
+from ..models import MaskRCNNConfig
+from ..robot import MeshLoader, URDFReader
+from ..robot.kinematics import make_fk
+from ..ops.rasterizer import (
+    rasterize_shaded,
+    transform_vertices,
+    triangle_setup,
+    triangle_shade,
+)
+
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+class DeviceSynthPipeline:
+    """Jitted generator of Mask R-CNN training batches from the renderer.
+
+    ``batch(key, batch_size)`` -> dict(images [B,H,W,3] normalized f32,
+    boxes [B,G,4], classes [B,G] i32, masks [B,G,H,W] f32), all on device.
+    """
+
+    def __init__(
+        self,
+        cfg: MaskRCNNConfig,
+        urdf: URDFReader = None,
+        camera_pose=DEFAULT_CAMERA_POSE,
+        base_intrin: str = "1280_720_color",
+        camera_jitter: float = 0.15,
+        num_distractors: int = 6,
+        max_tris_per_link: int = None,
+    ):
+        self.cfg = cfg
+        self.u_reader = urdf or URDFReader()
+        self.base_cam = np.asarray(camera_pose, np.float32)
+        self.camera_jitter = float(camera_jitter)
+        self.num_distractors = int(num_distractors)
+
+        mh, mw = cfg.image_hw
+        # Render at the letterboxed-into-model-frame resolution directly:
+        # scale the camera intrinsics so the full frame fits (top-left
+        # anchored, matching Segmenter.preprocess letterboxing).
+        base = Intrinsics(base_intrin)
+        scale = min(mh / base.height, mw / base.width)
+        self.rh = int(round(base.height * scale))
+        self.rw = int(round(base.width * scale))
+        f = (base.f[0] * scale, base.f[1] * scale)
+        pp = (base.pp[0] * scale, base.pp[1] * scale)
+        self._intrin = (float(f[0]), float(f[1]), float(pp[0]), float(pp[1]))
+
+        loader = MeshLoader(max_tris_per_link=max_tris_per_link, urdf=self.u_reader)
+        v, ids, valid = loader.scene.flat_packed()
+        self._verts = jnp.asarray(v)
+        self._ids = jnp.asarray(ids)
+        self._valid = jnp.asarray(valid)
+        self.num_links = loader.scene.num_links
+        self._fk = make_fk(self.u_reader)
+        self.joint_limits = np.asarray(self.u_reader.joint_limits, np.float32)
+
+    # ------------------------------------------------------------ internals
+    def _render_one(self, angles, cam_pose6):
+        """Shaded render of one pose: -> (lid [rh,rw] i32, shade [rh,rw] u8)."""
+        from ..prediction.camera_pose import w2c_from_pose_jnp
+
+        w2c = w2c_from_pose_jnp(cam_pose6)
+        poses = self._fk(angles[None])[0][: self.num_links]
+        cam_verts = transform_vertices(self._verts, self._ids, poses, w2c)
+        fx, fy, cx, cy = self._intrin
+        coeffs, qrange, _, _ = triangle_setup(cam_verts, self._valid, fx, fy, cx, cy)
+        shade = triangle_shade(cam_verts)
+        _, lid, shade_map = rasterize_shaded(
+            coeffs, qrange, self._ids.astype(jnp.int32), shade, self.rh, self.rw
+        )
+        return lid, shade_map
+
+    def _compose_one(self, key, angles, cam_pose6):
+        """Render + composite one domain-randomized sample."""
+        cfg = self.cfg
+        mh, mw = cfg.image_hw
+        lid, shade = self._render_one(angles, cam_pose6)
+        ks = jax.random.split(key, 12)
+
+        rows = jnp.arange(self.rh, dtype=jnp.float32)[:, None, None]
+        cols = jnp.arange(self.rw, dtype=jnp.float32)[None, :, None]
+
+        # --- background: solid color + 2-D gradient + speckle noise
+        bg = jax.random.uniform(ks[0], (3,), minval=0.0, maxval=255.0)
+        gx = jax.random.uniform(ks[1], (), minval=-80.0, maxval=80.0)
+        gy = jax.random.uniform(ks[2], (), minval=-80.0, maxval=80.0)
+        img = (
+            bg[None, None]
+            + cols / self.rw * gx
+            + rows / self.rh * gy
+            + jax.random.normal(ks[3], (self.rh, self.rw, 3)) * 25.0
+        )
+
+        # --- distractor shapes (rectangles + ellipses), random color/size
+        dk = jax.random.split(ks[4], self.num_distractors)
+        for i in range(self.num_distractors):
+            kk = jax.random.split(dk[i], 6)
+            cy_ = jax.random.uniform(kk[0], (), minval=0.0, maxval=self.rh)
+            cx_ = jax.random.uniform(kk[1], (), minval=0.0, maxval=self.rw)
+            hh = jax.random.uniform(kk[2], (), minval=8.0, maxval=self.rh / 3)
+            ww = jax.random.uniform(kk[3], (), minval=8.0, maxval=self.rw / 3)
+            col = jax.random.uniform(kk[4], (3,), minval=0.0, maxval=255.0)
+            is_ellipse = jax.random.bernoulli(kk[5])
+            dy = (rows[..., 0] - cy_) / hh
+            dx = (cols[..., 0] - cx_) / ww
+            inside = jnp.where(
+                is_ellipse,
+                dy * dy + dx * dx <= 1.0,
+                (jnp.abs(dy) <= 1.0) & (jnp.abs(dx) <= 1.0),
+            )
+            img = jnp.where(inside[..., None], col[None, None], img)
+
+        # --- robot: shaded grayscale x random per-link tint
+        tint = jax.random.uniform(
+            ks[5], (self.num_links, 3), minval=60.0, maxval=255.0
+        )
+        shade_f = 0.25 + 0.75 * shade.astype(jnp.float32) / 255.0
+        robot_rgb = tint[jnp.clip(lid, 0, self.num_links - 1)] * shade_f[..., None]
+        hit = (lid >= 0)[..., None]
+        img = jnp.where(hit, robot_rgb, img)
+
+        # --- photometric jitter + sensor noise (+ occasional soft blur)
+        bright = jax.random.uniform(ks[6], (), minval=-30.0, maxval=30.0)
+        contrast = jax.random.uniform(ks[7], (), minval=0.8, maxval=1.2)
+        img = (img - img.mean()) * contrast + img.mean() + bright
+        img = img + jax.random.normal(ks[8], img.shape) * 12.0
+        blur = jax.random.bernoulli(ks[9], 0.3)
+        soft = (
+            img
+            + jnp.roll(img, 1, 0) + jnp.roll(img, -1, 0)
+            + jnp.roll(img, 1, 1) + jnp.roll(img, -1, 1)
+        ) / 5.0
+        img = jnp.where(blur, soft, img)
+        img = jnp.clip(img, 0.0, 255.0)
+
+        # --- letterbox into the model frame (top-left, like preprocess)
+        canvas = jnp.zeros((mh, mw, 3), jnp.float32)
+        canvas = canvas.at[: self.rh, : self.rw].set(img)
+        canvas = (canvas - IMAGENET_MEAN) / IMAGENET_STD
+
+        # --- targets: per-link masks, boxes, classes (first 6 links)
+        G = cfg.max_gt
+        masks = jnp.zeros((G, mh, mw), jnp.float32)
+        boxes = jnp.zeros((G, 4), jnp.float32)
+        classes = jnp.zeros((G,), jnp.int32)
+        for li in range(min(6, self.num_links)):
+            m = (lid == li).astype(jnp.float32)
+            mm = jnp.zeros((mh, mw), jnp.float32).at[: self.rh, : self.rw].set(m)
+            area = mm.sum()
+            rows_any = mm.sum(axis=1) > 0
+            cols_any = mm.sum(axis=0) > 0
+            y1 = jnp.argmax(rows_any).astype(jnp.float32)
+            y2 = (mh - jnp.argmax(rows_any[::-1])).astype(jnp.float32)
+            x1 = jnp.argmax(cols_any).astype(jnp.float32)
+            x2 = (mw - jnp.argmax(cols_any[::-1])).astype(jnp.float32)
+            ok = area >= 4.0
+            masks = masks.at[li].set(jnp.where(ok, mm, 0.0))
+            boxes = boxes.at[li].set(
+                jnp.where(ok, jnp.stack([y1, x1, y2, x2]), jnp.zeros(4))
+            )
+            classes = classes.at[li].set(jnp.where(ok, li + 1, 0))
+        return canvas, boxes, classes, masks
+
+    @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
+    def batch(self, key, batch_size: int):
+        """Generate one training batch on device."""
+        lim = jnp.asarray(self.joint_limits)
+        base = jnp.asarray(self.base_cam)
+        keys = jax.random.split(key, batch_size)
+
+        def one(k):
+            ka, kc, ks = jax.random.split(k, 3)
+            angles = jax.random.uniform(
+                ka, (6,), minval=lim[:, 0], maxval=lim[:, 1]
+            )
+            cam = base + jax.random.uniform(
+                kc, (6,), minval=-self.camera_jitter, maxval=self.camera_jitter
+            )
+            return self._compose_one(ks, angles, cam)
+
+        images, boxes, classes, masks = jax.vmap(one)(keys)
+        return {
+            "images": images,
+            "boxes": boxes,
+            "classes": classes,
+            "masks": masks,
+        }

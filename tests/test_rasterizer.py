@@ -258,3 +258,103 @@ def test_camera_pose_projection_consistency():
     assert abs(cc.mean() - u) < 2.0
     assert abs(rr.mean() - v) < 2.0
     np.testing.assert_allclose(depth[depth > 0].mean(), zc, rtol=0.02)
+
+
+def test_pallas_batch_kernel_matches_xla_interpret():
+    """Candidate-batched kernel (grid carries B) must agree with the XLA
+    backend per candidate."""
+    import jax
+
+    from ropes3d_tpu.ops.rasterizer import triangle_setup
+    from ropes3d_tpu.ops.rasterizer_pallas import rasterize_pallas_batch
+
+    h, w = 32, 48
+    tris = np.array(
+        [
+            [[-1, -1, -2], [1, -1, -2], [0, 1, -2]],
+            [[-0.5, -0.5, -1.5], [0.5, -0.5, -1.5], [0, 0.7, -1.5]],
+        ],
+        np.float32,
+    )
+    link_ids = jnp.array([0, 1], jnp.int32)
+    # Two candidates: identity pose and a small translation of link poses.
+    shift = jnp.eye(4).at[0, 3].set(0.2)
+    keep = []
+    for pose in (jnp.eye(4), shift):
+        cam = transform_vertices(
+            jnp.asarray(tris), link_ids, jnp.stack([pose, pose]), jnp.eye(4)
+        )
+        keep.append(
+            triangle_setup(cam, jnp.array([True, True]), 32.0, 32.0, 24.0, 16.0)
+        )
+    coeffs = jnp.stack([k[0] for k in keep])
+    qrange = jnp.stack([k[1] for k in keep])
+    vrange = jnp.stack([k[2] for k in keep])
+    d_b, l_b = rasterize_pallas_batch(
+        coeffs, qrange, vrange, link_ids, h, w, interpret=True
+    )
+    for b in range(2):
+        d_x, l_x = rasterize(keep[b][0], keep[b][1], link_ids, h, w)
+        np.testing.assert_array_equal(np.asarray(l_x), np.asarray(l_b[b]))
+        np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_b[b]))
+
+
+def test_fused_error_kernel_matches_link_error_interpret():
+    """rasterize_error_pallas + link_error_from_parts == render + link_error
+    (the exact reference formula) on a synthetic target."""
+    import jax
+
+    from ropes3d_tpu.ops.error import (
+        TargetBundle,
+        link_error,
+        link_error_from_parts,
+    )
+    from ropes3d_tpu.ops.rasterizer import triangle_setup
+    from ropes3d_tpu.ops.rasterizer_pallas import rasterize_error_pallas
+
+    h, w = 24, 40
+    tris = np.array(
+        [
+            [[-1, -1, -2], [1, -1, -2], [0, 1, -2]],
+            [[-0.5, -0.5, -1.5], [0.5, -0.5, -1.5], [0, 0.7, -1.5]],
+            [[-0.2, -0.8, -1.2], [0.8, -0.6, -1.3], [0.2, 0.5, -1.2]],
+        ],
+        np.float32,
+    )
+    link_ids = jnp.array([1, 2, 3], jnp.int32)
+    valid = jnp.array([True, True, True])
+    fx = fy = 20.0
+    cx, cy = 20.0, 12.0
+
+    # Target from one configuration; candidates from two others.
+    def setup(scale):
+        cam = transform_vertices(
+            jnp.asarray(tris) * scale, link_ids, jnp.stack([jnp.eye(4)] * 4),
+            jnp.eye(4),
+        )
+        return triangle_setup(cam, valid, fx, fy, cx, cy)
+
+    t_coeffs, t_qrange, _, _ = setup(1.0)
+    t_depth, t_lid = rasterize(t_coeffs, t_qrange, link_ids, h, w)
+    masks = jnp.stack([t_lid == i for i in range(6)])
+    target = TargetBundle(
+        masks,
+        (masks * t_depth[None]).astype(jnp.float32),
+        masks.any(axis=(1, 2)),
+        t_depth.astype(jnp.float32),
+    )
+
+    cands = [setup(0.9), setup(1.1)]
+    coeffs = jnp.stack([c[0] for c in cands])
+    qrange = jnp.stack([c[1] for c in cands])
+    vrange = jnp.stack([c[2] for c in cands])
+    parts = rasterize_error_pallas(
+        coeffs, qrange, vrange, link_ids,
+        target.masks, target.masked_depth, target.depth, h, w, interpret=True,
+    )
+    la = jnp.asarray((np.arange(6) >= 1) & (np.arange(6) < 6))
+    e_fused = np.asarray(link_error_from_parts(parts, target, la, h * w))
+    for b in range(2):
+        d, l = rasterize(cands[b][0], cands[b][1], link_ids, h, w)
+        e_ref = float(link_error(target, d, l, la))
+        np.testing.assert_allclose(e_fused[b], e_ref, rtol=1e-5)
