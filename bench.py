@@ -88,10 +88,16 @@ def _main():
     # Warmup / compile.
     engine.evaluate(fresh_batch(), target, 6)
 
+    # Sustained throughput: dispatch every batch, block once at the end —
+    # per-call host read-backs would otherwise measure the tunnel's ~30 ms
+    # device->host latency instead of the evaluator.
+    eval_jit = engine._evaluate_jit(6)
     n_iters = 8
-    batches = [fresh_batch() for _ in range(n_iters)]
+    batches = [jnp.asarray(b) for b in (fresh_batch() for _ in range(n_iters))]
+    jax.block_until_ready(batches[-1])
     t0 = time.perf_counter()
-    outs = [engine.evaluate(b, target, 6) for b in batches]
+    outs = [eval_jit(b, engine._w2c, target) for b in batches]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     cand_per_s = B * n_iters / dt
 

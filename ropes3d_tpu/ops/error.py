@@ -140,6 +140,23 @@ def link_error_from_parts(
     return err + gmean * gstd
 
 
+def mean_abs_std(diff: jnp.ndarray, axes=(1, 2)) -> jnp.ndarray:
+    """``mean(|diff|) , std(|diff|)`` in ONE pass over ``diff``.
+
+    ``jnp.std`` re-reads its (possibly huge) input after the mean pass; for
+    the [N, ch, cw] lookup stacks that means ~3x the HBM traffic of the
+    fused sum/sum-of-squares form used here (population variance —
+    identical to ``jnp.std`` up to roundoff)."""
+    n = 1
+    for ax in axes:
+        n *= diff.shape[ax]
+    d = jnp.abs(diff)
+    s1 = jnp.sum(d, axis=axes)
+    s2 = jnp.sum(d * d, axis=axes)
+    m = s1 / n
+    return m, jnp.sqrt(jnp.maximum(s2 / n - m * m, 0.0))
+
+
 def lookup_error(tgt_sqrt: jnp.ndarray, lookup_sqrt: jnp.ndarray) -> jnp.ndarray:
     """Lookup-stage candidate error: err[N] = mean(|diff|) * std(|diff|).
 
@@ -148,11 +165,11 @@ def lookup_error(tgt_sqrt: jnp.ndarray, lookup_sqrt: jnp.ndarray) -> jnp.ndarray
     pre-rendered stack [N, H, W] — broadcasting replaces the reference's
     explicit ``tf.stack([target]*N)`` upload (predict.py:406).
     """
-    diff = jnp.abs(tgt_sqrt[None] - lookup_sqrt)
-    return jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+    m, s = mean_abs_std(tgt_sqrt[None] - lookup_sqrt)
+    return m * s
 
 
 def tensor_sweep_error(tgt_sqrt: jnp.ndarray, sweep_sqrt: jnp.ndarray) -> jnp.ndarray:
     """TensorSweep error: mean(|diff|) * -std(|diff|) (predict.py:363-369)."""
-    diff = jnp.abs(tgt_sqrt[None] - sweep_sqrt)
-    return jnp.mean(diff, axis=(1, 2)) * -jnp.std(diff, axis=(1, 2))
+    m, s = mean_abs_std(tgt_sqrt[None] - sweep_sqrt)
+    return m * -s

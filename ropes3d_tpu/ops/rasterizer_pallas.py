@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 64  # triangles per inner step (empirically best on v5e: larger
+CHUNK = 32  # triangles per inner step (empirically best on v5e: larger
 # chunks coarsen bbox culling and lose more than the loop rounds save)
 TILE_R = 8  # pixel-tile rows
 TILE_C = 128  # pixel-tile cols (one lane register width)
@@ -264,12 +264,14 @@ NUM_PARTS = 18  # 5 xor + 5 sum|d| + 5 cnt + (sum, cnt, sum²) of global diff
 _PARTS_LANES = 128  # lane-aligned partials row
 
 
-ERR_TILE_R = 16  # row-tile height of the fused-error kernel's inner loop
+ERR_TILE_R = 8  # row-tile height of the fused-error kernel's inner loop
 
 
 def _raster_error_kernel(
     origin_ref,  # SMEM [2] f32
+    gbbox_ref,  # SMEM [1, 1, 4] f32 — per-candidate silhouette bbox
     chunk_bbox_ref,  # SMEM [1, n_chunks, 4] f32 (per-candidate block)
+    tonly_ref,  # SMEM [n_tiles, NUM_PARTS] f32 — empty-render tile partials
     coeffs_ref,  # VMEM [1, N, 4, 3] f32 (per-candidate block)
     qrange_ref,  # VMEM [1, N, 2] f32
     lids_ref,  # VMEM [N, 1] i32 (shared)
@@ -292,7 +294,14 @@ def _raster_error_kernel(
     small-batch evals that descent loops issue.  Every term of the
     reference error (predict.py:475-509) is a linear pixel reduction, so
     stripe-local sums accumulate exactly.  The [H, W] depth/link-id maps
-    never leave VMEM."""
+    never leave VMEM.
+
+    Tiles outside the candidate's silhouette bbox (``gbbox_ref``) skip all
+    raster/reduction work and add the precomputed empty-render target
+    partials (``tonly_ref``) instead — exact, because every error term on
+    an empty tile reduces to a target-only sum.  The robot covers a small
+    fraction of the frame, so this cuts the per-candidate tile work ~3x
+    (the inner loop of every descent stage)."""
     R = ERR_TILE_R
     C = 128  # lane width — reshapes must keep 128 lanes (Mosaic layout rule)
     n_rt = hp // R
@@ -305,6 +314,33 @@ def _raster_error_kernel(
         def tile(t, _):
             t_r = t // n_ct
             t_c = t % n_ct
+            row_min = origin_ref[0] + t_r.astype(jnp.float32) * R + 0.5
+            row_max = row_min + (R - 1)
+            col_min = origin_ref[1] + t_c.astype(jnp.float32) * C + 0.5
+            col_max = col_min + (C - 1)
+            covered_tile = (
+                (gbbox_ref[0, 0, 1] >= row_min)
+                & (gbbox_ref[0, 0, 0] <= row_max)
+                & (gbbox_ref[0, 0, 3] >= col_min)
+                & (gbbox_ref[0, 0, 2] <= col_max)
+            )
+
+            @pl.when(jnp.logical_not(covered_tile))
+            def _skip():
+                vals = jnp.stack(
+                    [tonly_ref[t, i] for i in range(NUM_PARTS)]
+                ).reshape(1, 1, NUM_PARTS)
+                pacc[:] = pacc[:] + jnp.pad(
+                    vals, ((0, 0), (0, 7), (0, _PARTS_LANES - NUM_PARTS))
+                )
+
+            @pl.when(covered_tile)
+            def _render_tile():
+                _tile_body(t_r, t_c, row_min, row_max, col_min, col_max)
+
+            return 0
+
+        def _tile_body(t_r, t_c, row_min, row_max, col_min, col_max):
             rows = t_r * R + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
             cols = t_c * C + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
             py = rows.astype(jnp.float32) + (origin_ref[0] + 0.5)
@@ -313,10 +349,6 @@ def _raster_error_kernel(
                 [px.reshape(P), py.reshape(P), jnp.ones((P,), jnp.float32)],
                 axis=0,
             )
-            row_min = origin_ref[0] + t_r.astype(jnp.float32) * R + 0.5
-            row_max = row_min + (R - 1)
-            col_min = origin_ref[1] + t_c.astype(jnp.float32) * C + 0.5
-            col_max = col_min + (C - 1)
             kacc[:] = jnp.full((R, C), -1, jnp.int32)
 
             def chunk(c, _):
@@ -392,7 +424,6 @@ def _raster_error_kernel(
                 vec, ((0, 0), (0, 7), (0, _PARTS_LANES - NUM_PARTS))
             )
             pacc[:] = pacc[:] + vec
-            return 0
 
         jax.lax.fori_loop(0, n_rt * n_ct, tile, 0)
         parts_ref[:] = pacc[:]
@@ -439,6 +470,16 @@ def rasterize_error_pallas(
         axis=-1,
     )
 
+    # Per-candidate silhouette bbox for whole-tile culling (empty rows are
+    # +inf/-inf sentinels from triangle_setup and never win the min/max).
+    gbbox = jnp.stack(
+        [
+            vrange[..., 0].min(1), vrange[..., 1].max(1),
+            vrange[..., 2].min(1), vrange[..., 3].max(1),
+        ],
+        axis=-1,
+    )[:, None, :]  # [B, 1, 4] (middle axis: SMEM trailing-dims block rule)
+
     hp = -(-h // ERR_TILE_R) * ERR_TILE_R
     wp = -(-w // 128) * 128
     assert wp <= 512, "fused-error kernel is for working resolutions"
@@ -449,6 +490,29 @@ def rasterize_error_pallas(
         tmasked.astype(jnp.float32), ((0, 0), (0, hp - h), (0, wp - w))
     )
     tdepth = jnp.pad(tdepth.astype(jnp.float32), ((0, hp - h), (0, wp - w)))
+
+    # Empty-render target-only partials per tile: what every error term
+    # reduces to on a tile the candidate's silhouette misses.  Candidate-
+    # independent — computed once per eval call, tiny [n_tiles, NUM_PARTS].
+    n_rt, n_ct = hp // ERR_TILE_R, wp // 128
+
+    def tile_sums(x):  # [hp, wp] -> [n_tiles]
+        return x.reshape(n_rt, ERR_TILE_R, n_ct, 128).sum((1, 3)).reshape(-1)
+
+    tonly = jnp.stack(
+        [tile_sums(tmask[li]) for li in range(1, 6)]
+        + [tile_sums(jnp.abs(tmasked[li])) for li in range(1, 6)]
+        + [
+            tile_sums((tmasked[li] != 0.0).astype(jnp.float32))
+            for li in range(1, 6)
+        ]
+        + [
+            tile_sums(tdepth),
+            tile_sums((tdepth != 0.0).astype(jnp.float32)),
+            tile_sums(tdepth * tdepth),
+        ],
+        axis=-1,
+    )  # [n_tiles, NUM_PARTS]
 
     kernel = functools.partial(
         _raster_error_kernel, n_chunks=n_chunks, h=h, w=w, hp=hp, wp=wp
@@ -462,9 +526,13 @@ def rasterize_error_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
+                (1, 1, 4), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
                 (1, n_chunks, 4), lambda b: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, Np, 4, 3), lambda b: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -485,7 +553,7 @@ def rasterize_error_pallas(
         out_shape=jax.ShapeDtypeStruct((B, 8, _PARTS_LANES), jnp.float32),
         interpret=interpret,
     )(
-        origin, chunk_bbox, coeffs, qrange,
+        origin, gbbox, chunk_bbox, tonly, coeffs, qrange,
         link_ids[:, None].astype(jnp.int32), tmask, tmasked, tdepth,
     )
     return parts[:, 0, :NUM_PARTS]

@@ -100,9 +100,13 @@ class CameraPoseEngine:
         tgt_depths: jnp.ndarray,
     ):
         """Depth-only error per candidate (cam_pose_prediction.py:389-427)."""
+        from ..ops.error import mean_abs_std
+
         depth, _ = self._render_cf(cam_poses, link_poses)
-        diff = jnp.abs(jnp.sqrt(tgt_depths)[None] - jnp.sqrt(depth))
-        err = jnp.mean(diff, (2, 3)) * -jnp.std(diff, (2, 3))  # [C, F]
+        m, s = mean_abs_std(
+            jnp.sqrt(tgt_depths)[None] - jnp.sqrt(depth), axes=(2, 3)
+        )
+        err = m * -s  # [C, F]
         return jnp.mean(1.1**err, axis=1)
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -434,6 +438,7 @@ class _BaseCameraPredictor:
         self.preview = preview
         self.min_ang_inc = np.asarray(min_angle_inc, float)
         self.history_length = history_length
+        self.base_intrinsics = base_intrinsics
         intr = Intrinsics(base_intrinsics)
         intr.downscale(ds_factor)
         self.engine = CameraPoseEngine(intr)
@@ -628,9 +633,19 @@ class _BaseCameraPredictor:
 
 
 class ModellessCameraPredictor(_BaseCameraPredictor):
-    """Depth-only camera-pose search (cam_pose_prediction.py:28-431)."""
+    """Depth-only camera-pose search (cam_pose_prediction.py:28-431).
+
+    ``refine_ds_factor`` (beyond-reference, optional): after the parity
+    recipe converges at ``ds_factor``, re-run a short sweep+descent pass at
+    the finer downscale on the same full-res inputs.  The reference's
+    modeless heuristic saturates at roughly pixel scale (~1.3 cm/px at
+    1.5 m with ds 8); the fine pass buys back the quantization floor."""
 
     _eval_kind = "modeless"
+
+    def __init__(self, *args, refine_ds_factor: int = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.refine_ds_factor = refine_ds_factor
 
     def _setStages(self):
         wide_tensorsweep_xyz = ["tensorsweep", 20, 0.2, [True, True, True, False, False, False]]
@@ -665,7 +680,33 @@ class ModellessCameraPredictor(_BaseCameraPredictor):
             starting_camera_pose, float
         )
         self._setStages()
-        return self._search(pose, self.stages)
+        est = self._search(pose, self.stages)
+        if (
+            self.refine_ds_factor is not None
+            and self.refine_ds_factor < self.ds_factor
+        ):
+            fine = ModellessCameraPredictor(
+                base_pose=est,
+                ds_factor=self.refine_ds_factor,
+                min_angle_inc=self.min_ang_inc,
+                history_length=self.history_length,
+                base_intrinsics=self.base_intrinsics,
+            )
+            px = 1.5 / float(fine.engine.intrinsics.f[0])  # m/px at 1.5 m
+            fine._setStages = lambda: setattr(
+                fine,
+                "stages",
+                [
+                    ["smartsweep", 15, 10 * px,
+                     [True, True, True, False, False, False]],
+                    ["smartsweep", 15, 5 * px,
+                     [False, False, False, True, True, True]],
+                    ["descent", 30, 0.5, 0.0005, [True] * 6, [2 * px] * 6],
+                ],
+            )
+            est = fine.run(og_images, target_depths, robot_poses,
+                           starting_camera_pose=est)
+        return est
 
     def _eval(self, poses: np.ndarray) -> np.ndarray:
         return np.asarray(

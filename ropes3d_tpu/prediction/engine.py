@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..camera import Intrinsics, camera_matrices
-from ..ops.error import TargetBundle, link_error
+from ..ops.error import TargetBundle, link_error, mean_abs_std
 from ..ops.interp import cubic_spline_uniform
 from ..ops.rasterizer import render_batch
 from ..robot import MeshLoader, URDFReader
@@ -512,8 +512,8 @@ class CandidateEvaluator:
             space = jnp.tile(angles, (divs, 1)).at[:, j].set(lo + (hi - lo) * frac)
             depth, _ = render(space, w2c)
             # Sqrt-domain depth error, mean * -std (predict.py:363-369).
-            diff = jnp.abs(jnp.sqrt(tgt_depth)[None] - jnp.sqrt(depth))
-            errs = jnp.mean(diff, axis=(1, 2)) * -jnp.std(diff, axis=(1, 2))
+            m, s = mean_abs_std(jnp.sqrt(tgt_depth)[None] - jnp.sqrt(depth))
+            errs = m * -s
             angles_new = space[jnp.argmin(errs)]
             history2 = jnp.concatenate([angles_new[None], state.history[:-1]])
             return SearchState(angles_new, state.lr, history2, state.err_hist)
@@ -544,8 +544,8 @@ class CandidateEvaluator:
         """Lookup-stage argmin.  NOTE reference parity: the target is raw
         depth while the stack is sqrt-domain (predict.py:117 vs 406) — the
         comparison is a silhouette-weighted heuristic, reproduced exactly."""
-        diff = jnp.abs(tgt_crop[None] - lookup_sqrt)
-        err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+        m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
+        err = m * s
         return lookup_angles[jnp.argmin(err)]
 
     @staticmethod
@@ -562,8 +562,8 @@ class CandidateEvaluator:
         stage pipeline frame-batched and the lowest final error wins —
         robustness against wrong-basin lookup inits (a failure mode the
         reference's single-seed search shares)."""
-        diff = jnp.abs(tgt_crop[None] - lookup_sqrt)
-        err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+        m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
+        err = m * s
         _, idx = jax.lax.top_k(-err, k)
         return lookup_angles[idx]
 
@@ -577,8 +577,8 @@ class CandidateEvaluator:
         """Frame-batched lookup argmin: -> angles [F, 6]."""
 
         def one(tgt):
-            diff = jnp.abs(tgt[None] - lookup_sqrt)
-            err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+            m, s = mean_abs_std(tgt[None] - lookup_sqrt)
+            err = m * s
             return lookup_angles[jnp.argmin(err)]
 
         return jax.lax.map(one, tgt_crops)
@@ -719,8 +719,8 @@ class CandidateEvaluator:
                 self._tsweep_fn(sk[1], sk[2])
 
         def lookup_one(tgt_crop, lookup_sqrt, lookup_angles):
-            diff = jnp.abs(tgt_crop[None] - lookup_sqrt)
-            err = jnp.mean(diff, axis=(1, 2)) * jnp.std(diff, axis=(1, 2))
+            m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
+            err = m * s
             if topk > 1:
                 _, idx = jax.lax.top_k(-err, topk)
                 return lookup_angles[idx]  # [k, 6]

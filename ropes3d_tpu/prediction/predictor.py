@@ -135,8 +135,12 @@ class Predictor:
         )
         angles = jnp.asarray(ang, jnp.float32)
         # Sqrt-domain device-resident stack (predict.py:117), sharded over
-        # the candidate axis when multiple chips are attached.
-        stack = jnp.sqrt(jnp.asarray(depth, jnp.float32))
+        # the candidate axis when multiple chips are attached.  Stored
+        # bfloat16: the lookup argmin is HBM-bound (the stack is read once
+        # per frame) and the ~0.4% value quantization only perturbs
+        # near-tied seeds that the downstream stages re-optimize anyway;
+        # the error arithmetic itself stays f32 (mean_abs_std upcasts).
+        stack = jnp.sqrt(jnp.asarray(depth, jnp.float32)).astype(jnp.bfloat16)
         self.lookup_depth, self.lookup_angles, self._lookup_mesh = (
             shard_lookup_stack(stack, angles)
         )

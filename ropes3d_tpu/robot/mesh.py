@@ -154,9 +154,26 @@ class PackedScene:
         """
         v, link_ids, valid = self.flat(max_links)
         keep = np.asarray(valid, bool)
+        v, link_ids = v[keep], link_ids[keep]
+        # Sort each link's triangles by Morton code of their centroid: the
+        # rasterizer culls work per CHUNK-sized triangle group via the
+        # group's screen bbox, so spatially coherent groups -> tight bboxes
+        # -> far fewer live chunk x tile pairs in the kernels.
+        order = np.arange(len(v))
+        cent = v.mean(axis=1)
+        for li in np.unique(link_ids):
+            sel = np.where(link_ids == li)[0]
+            c = cent[sel]
+            lo, hi = c.min(0), c.max(0)
+            q = ((c - lo) / np.maximum(hi - lo, 1e-9) * 31).astype(np.int64)
+            code = np.zeros(len(sel), np.int64)
+            for bit in range(5):
+                for ax in range(3):
+                    code |= ((q[:, ax] >> bit) & 1) << (3 * bit + ax)
+            order[sel] = sel[np.argsort(code, kind="stable")]
         return (
-            np.ascontiguousarray(v[keep]),
-            np.ascontiguousarray(link_ids[keep]),
+            np.ascontiguousarray(v[order]),
+            np.ascontiguousarray(link_ids[order]),
             np.ones(int(keep.sum()), bool),
         )
 
