@@ -158,3 +158,17 @@ def test_predictor_full_angle_sets(synth):
     assert getStages("XYZ") is None
     full = getStages("SLURB")
     assert isinstance(full[-1], Descent)
+
+
+def test_fused_recipe_matches_stepwise(synth):
+    """The whole-recipe fused program (and its sharded-lookup split) must
+    reproduce the per-stage dispatch loop exactly."""
+    pose = np.array([0.9, -0.5, 1.0, 0, 0, 0], np.float32)
+    depth, lid = synth.renderer.render_batch_angles(pose[None])
+    p = synth.predictor
+    pred_fused = p.run_synthetic(depth[0], lid[0])
+    prep = p._prepare_synthetic_device()
+    p._target, p._tgt_lookup_crop = prep(depth[0], lid[0])
+    p._setStages()
+    pred_step = p._run_stages_stepwise()
+    np.testing.assert_allclose(pred_fused, pred_step, atol=1e-5)

@@ -145,3 +145,34 @@ def test_fk_composition_property(urdf):
         R = poses[i][:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
         assert np.linalg.det(R) > 0.99
+
+
+def test_flat_packed_renders_identically(urdf):
+    """Compacted + Morton-sorted triangle soup must rasterize bit-identically
+    to the padded layout (rasterization is order-independent: the z-buffer
+    max-reduction commutes)."""
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.camera import Intrinsics, camera_matrices
+    from ropes3d_tpu.ops.rasterizer import render_batch
+
+    ml = MeshLoader(max_tris_per_link=128)
+    intr = Intrinsics("640_480_color_16")
+    _, w2c = camera_matrices([0, -1.5, 0.75, 0, 0, 0])
+    K = jnp.array([intr.f[0], intr.f[1], intr.pp[0], intr.pp[1]])
+    fk = make_fk(urdf)
+    poses = jnp.asarray(fk(np.array([[0.4, 0.1, 0.6, 0, 0, 0]], np.float32)))[:, :6]
+
+    outs = []
+    for v, ids, valid in (ml.scene.flat(), ml.scene.flat_packed()):
+        d, l = render_batch(
+            poses, jnp.ones(6, bool), jnp.asarray(v), jnp.asarray(ids),
+            jnp.asarray(valid), jnp.asarray(w2c, jnp.float32), K,
+            intr.height, intr.width,
+        )
+        outs.append((np.asarray(d), np.asarray(l)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    v, ids, _ = ml.scene.flat_packed()
+    assert v.shape[0] < ml.scene.flat()[0].shape[0]  # padding really removed
+    assert np.all(np.diff(ids) >= 0)  # ascending link ids (static slicing)
