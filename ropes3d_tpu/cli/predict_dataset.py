@@ -16,18 +16,29 @@ import numpy as np
 
 def run(dataset: str, angs: str = "SLU", ds_factor: int = 8,
         chunk: int = 200, plot: bool = True, limit: int = None,
-        model_ds: str = None) -> np.ndarray:
+        model_ds: str = None, synthetic: bool = False) -> np.ndarray:
+    """``synthetic`` uses the exact-render-color mask path (color_dict)
+    instead of the segmentation network — for datasets captured with the
+    renderer's 'seg' palette (reference predict.py:91,445-469 branch)."""
     from ..data.dataset import Dataset
     from ..prediction.analysis import Grapher
     from ..prediction.predictor import Predictor
 
     ds = Dataset(dataset)
+    color_dict = None
+    if synthetic:
+        from ..simulation.renderer import Renderer
+
+        color_dict = Renderer(
+            "seg", ds.camera_pose[0], ds.attrs["color_intrinsics"]
+        ).color_dict
     pred = Predictor(
         camera_pose=ds.camera_pose[0],
         ds_factor=ds_factor,
         do_angles=angs,
         base_intrin=ds.attrs["color_intrinsics"],
         model_ds=model_ds or dataset,
+        color_dict=color_dict,
     )
     n = min(len(ds), limit) if limit else len(ds)
     out = np.zeros((n, 6))
@@ -66,10 +77,14 @@ def main():
     p.add_argument("-limit", type=int, default=None)
     p.add_argument("-no_plot", action="store_true")
     p.add_argument("-model_ds", default=None, help="Model dataset criterion")
+    p.add_argument(
+        "-synthetic", action="store_true",
+        help="Exact-render-color masks instead of the segmentation net",
+    )
     a = p.parse_args()
     run(
         a.dataset, a.angs, a.ds_factor, plot=not a.no_plot, limit=a.limit,
-        model_ds=a.model_ds,
+        model_ds=a.model_ds, synthetic=a.synthetic,
     )
 
 
