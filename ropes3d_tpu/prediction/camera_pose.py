@@ -113,6 +113,27 @@ class CameraPoseEngine:
     def modeless_errors(self, cam_poses, link_poses, tgt_depths):
         return self.modeless_errors_raw(cam_poses, link_poses, tgt_depths)
 
+    def modeless_refine_errors_raw(
+        self, cam_poses: jnp.ndarray, link_poses: jnp.ndarray,
+        tgt_depths: jnp.ndarray, tau: float = 0.1,
+    ):
+        """Truncated-L1 depth registration error (beyond-reference).
+
+        The parity heuristic above (sqrt-domain mean·-std + 1.1^err) has a
+        degenerate landscape in the coupled (y, z, pitch) directions — a
+        wrong pose can score better than the truth.  For the optional fine
+        pass we use per-pixel min(|d_t - d_r|, tau) averaged over the frame:
+        un-rendered robot pixels and falsely-covered background pixels both
+        saturate at tau, so the objective is silhouette alignment + in-
+        overlap depth error, whose minimum sits at the true pose."""
+        depth, _ = self._render_cf(cam_poses, link_poses)  # [C, F, H, W]
+        diff = jnp.minimum(jnp.abs(tgt_depths[None] - depth), tau)
+        return jnp.mean(diff, axis=(1, 2, 3))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def modeless_refine_errors(self, cam_poses, link_poses, tgt_depths):
+        return self.modeless_refine_errors_raw(cam_poses, link_poses, tgt_depths)
+
     def seg_errors_raw(
         self,
         cam_poses: jnp.ndarray,
@@ -177,6 +198,7 @@ class CameraPoseEngine:
     def _eval_raw(self, eval_kind: str):
         return {
             "modeless": self.modeless_errors_raw,
+            "modeless_refine": self.modeless_refine_errors_raw,
             "seg": self.seg_errors_raw,
         }[eval_kind]
 
@@ -280,6 +302,33 @@ class CameraPoseEngine:
         return {"zp_sweep": zp, "xya_sweep": xya}[kind]
 
     @functools.lru_cache(maxsize=32)
+    def _pair_sweep_core(self, eval_kind: str, div: int, rng_i: float,
+                         rng_j: float, pi: int, pj: int):
+        """Joint 2-D grid sweep over two pose parameters (beyond-reference).
+
+        For coupled ambiguities (x–yaw, z–pitch) a div x div grid over both
+        parameters finds the joint minimum that per-parameter coordinate
+        sweeps walk past; one batched eval of div^2 candidates.  The
+        reference's analytic x–yaw coupling (cam_pose_prediction.py:361)
+        degenerates at yaw ~ 0 (tan(0) = 0), which is the common rig case.
+        """
+        ev = self._eval_raw(eval_kind)
+
+        def pair(pose, lr, history, err_hist, *targets):
+            fi = jnp.linspace(-rng_i, rng_i, div)
+            fj = jnp.linspace(-rng_j, rng_j, div)
+            gi, gj = jnp.meshgrid(fi, fj, indexing="ij")
+            space = jnp.tile(pose, (div * div, 1))
+            space = (
+                space.at[:, pi].add(gi.reshape(-1))
+                .at[:, pj].add(gj.reshape(-1))
+            )
+            errs = ev(space, *targets)
+            return space[jnp.argmin(errs)], lr, history, err_hist
+
+        return pair
+
+    @functools.lru_cache(maxsize=32)
     def _descent_core(self, eval_kind: str, min_inc: tuple, its: int,
                       redux: float, early_stop: float, do_param: tuple,
                       init_rate: tuple):
@@ -314,6 +363,12 @@ class CameraPoseEngine:
         if kind in ("zp_sweep", "xya_sweep"):
             _, div, rng_half = stage
             return self._coupled_core(kind, eval_kind, int(div), float(rng_half))
+        if kind == "pair_sweep":
+            _, div, rng_i, rng_j, pi, pj = stage
+            return self._pair_sweep_core(
+                eval_kind, int(div), float(rng_i), float(rng_j), int(pi),
+                int(pj),
+            )
         if kind == "descent":
             _, its, redux, early_stop, do_param, init_rate = stage
             return self._descent_core(
@@ -681,28 +736,13 @@ class ModellessCameraPredictor(_BaseCameraPredictor):
         )
         self._setStages()
         est = self._search(pose, self.stages)
-        if (
-            self.refine_ds_factor is not None
-            and self.refine_ds_factor < self.ds_factor
-        ):
-            fine = ModellessCameraPredictor(
+        if self.refine_ds_factor is not None:
+            fine = _ModellessRefinePredictor(
                 base_pose=est,
                 ds_factor=self.refine_ds_factor,
                 min_angle_inc=self.min_ang_inc,
                 history_length=self.history_length,
                 base_intrinsics=self.base_intrinsics,
-            )
-            px = 1.5 / float(fine.engine.intrinsics.f[0])  # m/px at 1.5 m
-            fine._setStages = lambda: setattr(
-                fine,
-                "stages",
-                [
-                    ["smartsweep", 15, 10 * px,
-                     [True, True, True, False, False, False]],
-                    ["smartsweep", 15, 5 * px,
-                     [False, False, False, True, True, True]],
-                    ["descent", 30, 0.5, 0.0005, [True] * 6, [2 * px] * 6],
-                ],
             )
             est = fine.run(og_images, target_depths, robot_poses,
                            starting_camera_pose=est)
@@ -721,6 +761,54 @@ class ModellessCameraPredictor(_BaseCameraPredictor):
 
     def _eval_targets(self):
         return (self.engine.link_poses, self._tgt)
+
+    def error_at(self, pose) -> float:
+        return float(self._eval(np.asarray(pose, float)[None])[0])
+
+
+class _ModellessRefinePredictor(ModellessCameraPredictor):
+    """Fine pass of the modeless search (beyond-reference): truncated-L1
+    depth registration objective + symmetric sweeps.  Invoked by
+    ``ModellessCameraPredictor(refine_ds_factor=...)``."""
+
+    _eval_kind = "modeless_refine"
+    asymmetric_sweeps = False
+    refine_ds_factor = None
+
+    def __init__(self, *args, **kwargs):
+        kwargs.pop("refine_ds_factor", None)
+        super().__init__(*args, **kwargs)
+        self.refine_ds_factor = None
+
+    def _setStages(self):
+        px = 1.5 / float(self.engine.intrinsics.f[0])  # ~m per pixel at 1.5 m
+        xyz = [True, True, True, False, False, False]
+        rpy = [False, False, False, True, True, True]
+        self.stages = [
+            ["smartsweep", 20, 0.15, xyz],
+            ["smartsweep", 20, 0.08, rpy],
+            # Joint grids over the two coupled pairs (x–yaw, z–pitch) —
+            # the depth-only landscape's flat valleys run diagonally here.
+            ["pair_sweep", 15, 0.05, 0.035, 0, 5],
+            ["pair_sweep", 15, 0.05, 0.035, 2, 4],
+            ["descent", 40, 0.5, 1e-4, [True] * 6, [0.02] * 6],
+            ["pair_sweep", 15, 0.02, 0.015, 0, 5],
+            ["pair_sweep", 15, 0.02, 0.015, 2, 4],
+            ["smartsweep", 15, max(0.03, 10 * px), xyz],
+            ["smartsweep", 15, 0.02, rpy],
+            ["descent", 30, 0.5, 1e-4, [True] * 6, [max(0.005, 2 * px)] * 6],
+        ]
+
+    def _eval(self, poses: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self.engine.modeless_refine_errors(
+                jnp.asarray(poses, jnp.float32), self.engine.link_poses,
+                self._tgt,
+            )
+        )
+
+    def _eval_core(self):
+        return self.engine.modeless_refine_errors_raw
 
     def error_at(self, pose) -> float:
         return float(self._eval(np.asarray(pose, float)[None])[0])

@@ -56,12 +56,18 @@ class DeviceSynthPipeline:
         camera_jitter: float = 0.15,
         num_distractors: int = 6,
         max_tris_per_link: int = None,
+        dist_range: Tuple[float, float] = (1.0, 1.0),
     ):
+        """``dist_range``: per-sample uniform scale on the camera position
+        vector — <1 moves the camera closer.  Scale augmentation targets
+        the small-wrist-link failure mode (ROADMAP round-1: prefer wrist
+        close-ups over wider global pose jitter)."""
         self.cfg = cfg
         self.u_reader = urdf or URDFReader()
         self.base_cam = np.asarray(camera_pose, np.float32)
         self.camera_jitter = float(camera_jitter)
         self.num_distractors = int(num_distractors)
+        self.dist_range = (float(dist_range[0]), float(dist_range[1]))
 
         mh, mw = cfg.image_hw
         # Render at the letterboxed-into-model-frame resolution directly:
@@ -199,13 +205,17 @@ class DeviceSynthPipeline:
         keys = jax.random.split(key, batch_size)
 
         def one(k):
-            ka, kc, ks = jax.random.split(k, 3)
+            ka, kc, kd, ks = jax.random.split(k, 4)
             angles = jax.random.uniform(
                 ka, (6,), minval=lim[:, 0], maxval=lim[:, 1]
             )
             cam = base + jax.random.uniform(
                 kc, (6,), minval=-self.camera_jitter, maxval=self.camera_jitter
             )
+            s = jax.random.uniform(
+                kd, (), minval=self.dist_range[0], maxval=self.dist_range[1]
+            )
+            cam = cam.at[:3].multiply(s)
             return self._compose_one(ks, angles, cam)
 
         images, boxes, classes, masks = jax.vmap(one)(keys)

@@ -70,3 +70,37 @@ def test_seg_camera_predictor_converges(frames):
     assert np.all(err[:3] < 0.08), f"translation err {err[:3]}"
     assert np.all(err[3:] < 0.08), f"rotation err {err[3:]}"
     assert cp.error_at(TRUE_CAM) < cp.error_at(BASE_CAM)
+
+
+def test_pair_sweep_and_refine_metric(frames):
+    """pair_sweep stage finds the joint (x, yaw) minimum; the truncated-L1
+    refine metric must prefer the true pose over perturbed ones (unlike the
+    parity heuristic, whose landscape is degenerate in coupled directions)."""
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.prediction.camera_pose import _ModellessRefinePredictor
+
+    _, robot_poses, colors, depths = frames
+    d = depths.copy()
+    d[d == 0] = 2.5
+    mp = _ModellessRefinePredictor(
+        base_pose=TRUE_CAM, ds_factor=16, base_intrinsics="640_480_color"
+    )
+    mp.engine.set_robot_poses(robot_poses)
+    mp._tgt = jnp.asarray(mp._batch_downsample(d, 16), jnp.float32)
+    e_true = mp.error_at(TRUE_CAM)
+    # Orbit-coupled perturbation (x shift + compensating yaw) and plain shifts.
+    assert e_true < mp.error_at(np.add(TRUE_CAM, [0.08, 0, 0, 0, 0, -0.053]))
+    assert e_true < mp.error_at(np.add(TRUE_CAM, [0, 0.05, 0, 0, 0, 0]))
+    assert e_true < mp.error_at(np.add(TRUE_CAM, [0, 0, 0.05, -0.03, 0, 0]))
+
+    # pair_sweep stage recovers a coupled offset in one dispatch.
+    start = np.add(TRUE_CAM, [0.04, 0, 0, 0, 0, -0.027])
+    core = mp.engine._pair_sweep_core("modeless_refine", 9, 0.06, 0.04, 0, 5)
+    pose, *_ = core(
+        jnp.asarray(start, jnp.float32), jnp.zeros(6), jnp.zeros((5, 6)),
+        jnp.zeros(5), mp.engine.link_poses, mp._tgt,
+    )
+    err0 = np.abs(np.asarray(start) - TRUE_CAM)[[0, 5]]
+    err1 = np.abs(np.asarray(pose) - TRUE_CAM)[[0, 5]]
+    assert err1.sum() < err0.sum()
