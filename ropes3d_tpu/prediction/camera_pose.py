@@ -784,19 +784,28 @@ class _ModellessRefinePredictor(ModellessCameraPredictor):
         px = 1.5 / float(self.engine.intrinsics.f[0])  # ~m per pixel at 1.5 m
         xyz = [True, True, True, False, False, False]
         rpy = [False, False, False, True, True, True]
+        # Block-coordinate refinement: the depth-only landscape's flat
+        # valleys run along *coupled* orbit directions (x+yaw, z+pitch) —
+        # a joint 6-DoF descent can walk them for tens of cm.  Alternating
+        # position-only and rotation-only blocks makes valley motion
+        # impossible within a block (a lone z or pitch move raises the
+        # error), so each block pulls toward the true joint minimum.
+        pos_rate = [0.02, 0.02, 0.02, 0, 0, 0]
+        rot_rate = [0, 0, 0, 0.01, 0.01, 0.01]
+        fine = max(0.004, 1.5 * px)
         self.stages = [
-            ["smartsweep", 20, 0.15, xyz],
-            ["smartsweep", 20, 0.08, rpy],
-            # Joint grids over the two coupled pairs (x–yaw, z–pitch) —
-            # the depth-only landscape's flat valleys run diagonally here.
-            ["pair_sweep", 15, 0.05, 0.035, 0, 5],
-            ["pair_sweep", 15, 0.05, 0.035, 2, 4],
-            ["descent", 40, 0.5, 1e-4, [True] * 6, [0.02] * 6],
-            ["pair_sweep", 15, 0.02, 0.015, 0, 5],
-            ["pair_sweep", 15, 0.02, 0.015, 2, 4],
-            ["smartsweep", 15, max(0.03, 10 * px), xyz],
-            ["smartsweep", 15, 0.02, rpy],
-            ["descent", 30, 0.5, 1e-4, [True] * 6, [max(0.005, 2 * px)] * 6],
+            ["smartsweep", 20, 0.12, xyz],
+            ["descent", 30, 0.5, 1e-4, xyz, pos_rate],
+            ["smartsweep", 20, 0.05, rpy],
+            ["descent", 30, 0.5, 1e-4, rpy, rot_rate],
+            # With y/z/pitch settled, the x–yaw valley's joint minimum is
+            # the truth — explore the whole 2-D plane at once (alternating
+            # 1-DoF blocks zigzag down this valley too slowly).
+            ["pair_sweep", 21, 0.15, 0.10, 0, 5],
+            ["descent", 25, 0.5, 1e-4, xyz, [fine, fine, fine, 0, 0, 0]],
+            ["descent", 25, 0.5, 1e-4, rpy, [0, 0, 0, fine, fine, fine]],
+            ["pair_sweep", 15, 0.03, 0.02, 0, 5],
+            ["descent", 20, 0.5, 1e-4, xyz, [fine, fine, fine, 0, 0, 0]],
         ]
 
     def _eval(self, poses: np.ndarray) -> np.ndarray:

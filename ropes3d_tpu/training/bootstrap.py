@@ -217,10 +217,16 @@ def eval_segmenter_iou(
     cluttered: bool = True,
     seed: int = 123,
     base_intrin: str = "1280_720_color",
+    min_gt_area: float = 0.0,
 ) -> float:
     """Mean per-link IoU of a segmenter checkpoint on held-out synthetic
     scenes (domain-randomized when ``cluttered``; plain shaded renders on a
-    random background otherwise)."""
+    random background otherwise).
+
+    ``min_gt_area``: skip ground-truth instances smaller than this many
+    pixels.  The raw number scores sub-10x10-px instances (undetectable at
+    any threshold) as IoU 0; bootv2 measures 0.78 all-GT vs 0.87 at
+    >=400 px — report both when quoting capability."""
     import jax
 
     from ..models.inference import Segmenter
@@ -246,6 +252,8 @@ def eval_segmenter_iou(
             per_link, _ = seg.segment(np.clip(imgs[j], 0, 255).astype(np.uint8))
             for g in range(len(gt_cls)):
                 if gt_cls[g] == 0:
+                    continue
+                if gt_masks[g].sum() < min_gt_area:
                     continue
                 name = seg.class_names[gt_cls[g]]
                 pred = per_link.get(name, {}).get(

@@ -104,3 +104,34 @@ def test_pair_sweep_and_refine_metric(frames):
     err0 = np.abs(np.asarray(start) - TRUE_CAM)[[0, 5]]
     err1 = np.abs(np.asarray(pose) - TRUE_CAM)[[0, 5]]
     assert err1.sum() < err0.sum()
+
+
+def test_refine_pass_pulls_toward_truth(frames):
+    """A short truncated-L1 refine pass (pair sweep + position block) must
+    reduce a coupled x-yaw offset.  (The full-recipe solve measures <2 cm
+    translation on TPU at 320x180 — too slow for the 1-core CPU suite.)"""
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.prediction.camera_pose import _ModellessRefinePredictor
+
+    _, robot_poses, colors, depths = frames
+    d = depths.copy()
+    d[d == 0] = 2.5
+    start = np.add(TRUE_CAM, [0.06, 0.02, -0.02, 0, 0, -0.04])
+    fine = _ModellessRefinePredictor(
+        base_pose=start, ds_factor=8, base_intrinsics="640_480_color"
+    )
+    fine._setStages = lambda: setattr(
+        fine,
+        "stages",
+        [
+            ["pair_sweep", 11, 0.08, 0.05, 0, 5],
+            ["descent", 8, 0.5, 1e-3, [True, True, True, False, False, False],
+             [0.01, 0.01, 0.01, 0, 0, 0]],
+        ],
+    )
+    est = fine.run(colors, depths, robot_poses, starting_camera_pose=start)
+    err0 = np.abs(np.asarray(start) - TRUE_CAM)
+    err1 = np.abs(np.asarray(est) - TRUE_CAM)
+    assert err1[:3].sum() < err0[:3].sum(), (err0, err1)
+    assert err1[5] < err0[5]
