@@ -115,10 +115,11 @@ class CandidateEvaluator:
         self.u_reader = urdf or URDFReader()
         self.intrinsics = intrinsics
         self.h, self.w = intrinsics.height, intrinsics.width
-        self._intrin_vec = jnp.array(
-            [intrinsics.f[0], intrinsics.f[1], intrinsics.pp[0], intrinsics.pp[1]],
-            jnp.float32,
+        self._intrin_tuple = (
+            float(intrinsics.f[0]), float(intrinsics.f[1]),
+            float(intrinsics.pp[0]), float(intrinsics.pp[1]),
         )
+        self._intrin_vec = jnp.array(self._intrin_tuple, jnp.float32)
         loader = MeshLoader(max_tris_per_link=max_tris_per_link, urdf=self.u_reader)
         packed = loader.scene
         self._packed = packed
@@ -188,7 +189,9 @@ class CandidateEvaluator:
             L = min(to_render, self.num_links)
             fk = self._fk
             h, w = self.h, self.w
-            fx, fy, cx, cy = [float(x) for x in np.asarray(self._intrin_vec)]
+            # Host floats, NOT np.asarray(self._intrin_vec): a 4-float
+            # device pull can cost minutes on a degraded remote transport.
+            fx, fy, cx, cy = self._intrin_tuple
 
             def eval_batch(angles, w2c, target: TargetBundle):
                 poses = fk(angles)[:, :L]

@@ -104,7 +104,12 @@ class SyntheticPredictor:
         fk = rend._fk
         verts, ids, valid = rend._verts, rend._link_ids, rend._valid
         w2c_full = rend._w2c
-        intrin_full = np.asarray(rend._intrin_vec)
+        # Host floats (not a device pull — tiny D2H transfers can be
+        # pathologically slow on remote transports).
+        ii = rend.intrinsics
+        intrin_full = np.array(
+            [ii.f[0], ii.f[1], ii.pp[0], ii.pp[1]], np.float32
+        )
         cam_vec = jnp.asarray(p.camera_pose, jnp.float32)
 
         @jax.jit
