@@ -277,6 +277,144 @@ class Predictor:
             )
         return np.asarray(out, dtype=float)
 
+    def _real_prep_core(self):
+        """Device-resident neural target preparation (unjitted core).
+
+        The whole of ``_segmentLoad`` — downsample, letterbox, Mask R-CNN
+        forward, per-detection mask pasting, per-link merge, body
+        close/dilate masking, lookup crop — as one traceable function, so
+        the real-image path can fuse (prep -> recipe) into a single device
+        program exactly like the synthetic path.  The host ``_segmentLoad``
+        remains the canonical reference implementation (predict.py:415-442);
+        this path replaces its cv2 box resizes with the equivalent bilinear
+        sampling (same (x+0.5)*src/dst-0.5 convention).
+        """
+        from ..config import LOOKUP_NUM_RENDERED as LN
+        from ..models.inference import IMAGENET_MEAN, IMAGENET_STD
+        from ..ops.image import close_mask as close
+        from ..ops.image import downsample as ds
+
+        f = self.ds_factor
+        seg = self.seg
+        cfg = seg.cfg
+        model = seg.model
+        variables = seg.variables
+        h, w = self.intrinsics.height, self.intrinsics.width
+        mh, mw = cfg.image_hw
+        scale = min(mh / h, mw / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        crop = [int(x) for x in self.crops[LN]]
+        S2 = cfg.mask_roi_size * 2
+        mean = np.asarray(IMAGENET_MEAN)
+        std = np.asarray(IMAGENET_STD)
+        lookup_links = set(self.u_reader.mesh_names[:LN])
+        link_is_lookup = np.array(
+            [name in lookup_links for name in self.link_names]
+        )
+
+        def prep(color_full, depth_full):
+            from jax.scipy.ndimage import map_coordinates
+
+            color = ds(color_full.astype(jnp.float32), f)
+            depth = ds(depth_full, f).astype(jnp.float32)
+            img = jax.image.resize(color, (nh, nw, 3), method="linear")
+            canvas = jnp.zeros((mh, mw, 3), jnp.float32).at[:nh, :nw].set(img)
+            canvas = (canvas - jnp.asarray(mean)) / jnp.asarray(std)
+            out = model.apply(variables, canvas)
+            boxes = out["boxes"] / scale  # model frame -> working res
+
+            yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+            xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+            def paste(mask2s, box, valid):
+                y1, x1, y2, x2 = box[0], box[1], box[2], box[3]
+                bh = jnp.maximum(y2 - y1, 1e-6)
+                bw = jnp.maximum(x2 - x1, 1e-6)
+                sy = (yy - y1 + 0.5) * (S2 / bh) - 0.5
+                sx = (xx - x1 + 0.5) * (S2 / bw) - 0.5
+                val = map_coordinates(
+                    mask2s.astype(jnp.float32),
+                    [jnp.broadcast_to(sy, (h, w)), jnp.broadcast_to(sx, (h, w))],
+                    order=1, mode="nearest",
+                )
+                inside = (
+                    (yy >= jnp.floor(y1)) & (yy < jnp.ceil(y2))
+                    & (xx >= jnp.floor(x1)) & (xx < jnp.ceil(x2))
+                )
+                return inside & valid & (val > 0.5)
+
+            masks_all = jax.vmap(paste)(
+                out["masks"], boxes, out["valid"]
+            )  # [K, h, w]
+            cls = out["classes"]
+
+            def link_mask(i):
+                sel = (cls == i + 1) & out["valid"]
+                return jnp.any(masks_all & sel[:, None, None], axis=0)
+
+            link_masks = jax.vmap(link_mask)(jnp.arange(6))  # [6, h, w]
+            union = link_masks.any(axis=0)
+            body = close(union, 8, 7)
+            tgt_depth = depth * body
+            lsel = jnp.asarray(link_is_lookup)
+            lookup_union = (link_masks & lsel[:, None, None]).any(axis=0)
+            lbody = close(lookup_union, 8, 7)
+            lookup_depth = tgt_depth * lbody
+            present = link_masks.any(axis=(1, 2))
+            bundle = TargetBundle(
+                link_masks, link_masks * tgt_depth[None], present, tgt_depth
+            )
+            tgt_crop = lookup_depth[
+                crop[0] : crop[1] + 1, crop[2] : crop[3] + 1
+            ]
+            return bundle, tgt_crop.astype(jnp.float32)
+
+        return prep
+
+    def run_real(self, target_color, target_depth) -> np.ndarray:
+        """Fused neural-path fast lane: full-res (color, depth) in, angles
+        out — segmentation, target prep and the whole stage recipe as one
+        device program (mirrors :meth:`run_synthetic`)."""
+        if self._lookup_mesh is not None:
+            if not hasattr(self, "_real_prep"):
+                self._real_prep = jax.jit(self._real_prep_core())
+            with self.timer.stage("target_load"):
+                self._target, self._tgt_lookup_crop = self._real_prep(
+                    jnp.asarray(target_color), jnp.asarray(target_depth)
+                )
+            return self._run_stages()
+        key = (self.search_mode, self.lookup_topk, tuple(self.camera_pose))
+        if getattr(self, "_real_run_key", None) != key:
+            from .engine import _stage_key
+
+            self._setStages()
+            prep = self._real_prep_core()
+            recipe = self.engine._recipe_fn(
+                _stage_key(self.stages),
+                self.lookup_topk,
+                self.search_mode == "fast",
+                False,
+                self.history_length,
+            )
+            w2c = self.engine._w2c
+            cam_vec = jnp.asarray(self.camera_pose, jnp.float32)
+
+            @jax.jit
+            def run1(color_full, depth_full, lookup_depth, lookup_angles):
+                bundle, crop = prep(color_full, depth_full)
+                return recipe(
+                    w2c, cam_vec, bundle, crop, lookup_depth, lookup_angles
+                )
+
+            self._real_run = run1
+            self._real_run_key = key
+        with self.timer.stage("real_fused"):
+            out = self._real_run(
+                jnp.asarray(target_color), jnp.asarray(target_depth),
+                self.lookup_depth, self.lookup_angles,
+            )
+        return np.asarray(out, dtype=float)
+
     # ------------------------------------------------------------ batched
     def run_batch(self, target_colors, target_depths, camera_pose=None) -> np.ndarray:
         """Frame-parallel prediction: F frames -> angles [F, 6].
