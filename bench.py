@@ -92,7 +92,7 @@ def _main():
     # per-call host read-backs would otherwise measure the tunnel's ~30 ms
     # device->host latency instead of the evaluator.
     eval_jit = engine._evaluate_jit(6)
-    n_iters = 8
+    n_iters = 12
     batches = [jnp.asarray(b) for b in (fresh_batch() for _ in range(n_iters))]
     jax.block_until_ready(batches[-1])
     t0 = time.perf_counter()
@@ -100,6 +100,73 @@ def _main():
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     cand_per_s = B * n_iters / dt
+
+    # VPU roofline estimate for the fused raster+error kernel: the kernel
+    # is elementwise-bound (FMA plane evaluation; the K=3 MXU formulation
+    # wastes ~98% of the systolic array and was removed).  Count the vector
+    # ops the kernel actually executes for this batch's geometry — visited
+    # tiles x surviving chunks x ERR_CHUNK x tile pixels x ops/elem — and
+    # compare against the v5e VPU peak (8 sublanes x 128 lanes x 4 ALUs x
+    # ~0.94 GHz ~= 3.85 T f32 ops/s).
+    vpu_frac = None
+    try:
+        from ropes3d_tpu.ops.rasterizer import transform_vertices, triangle_setup
+        from ropes3d_tpu.ops.rasterizer_pallas import ERR_CHUNK, ERR_TILE_R
+
+        verts, ids, valid = engine._scene_slice(6)
+        fx, fy, cx, cy = engine._intrin_tuple
+
+        @jax.jit
+        def bboxes(angles, w2c):
+            poses = engine._fk(angles)[:, :6]
+
+            def setup(p):
+                cam = transform_vertices(verts, ids, p, w2c)
+                _, _, vrange, _ = triangle_setup(cam, valid, fx, fy, cx, cy)
+                return vrange
+
+            return jax.vmap(setup)(poses)
+
+        sample = np.asarray(bboxes(batches[0][:128], engine._w2c))  # [S, N, 4]
+        npad = (-sample.shape[1]) % ERR_CHUNK
+        if npad:
+            fill = np.broadcast_to(
+                np.array([np.inf, -np.inf, np.inf, -np.inf], np.float32),
+                (sample.shape[0], npad, 4),
+            )
+            sample = np.concatenate([sample, fill], axis=1)
+        cb = sample.reshape(sample.shape[0], -1, ERR_CHUNK, 4)
+        chunk_bb = np.stack(
+            [cb[..., 0].min(2), cb[..., 1].max(2), cb[..., 2].min(2), cb[..., 3].max(2)],
+            axis=-1,
+        )  # [S, n_chunks, 4]
+        gb = np.stack(
+            [sample[..., 0].min(1), sample[..., 1].max(1),
+             sample[..., 2].min(1), sample[..., 3].max(1)], axis=-1
+        )  # [S, 4]
+        R, C = ERR_TILE_R, 128
+        hp, wp = -(-intr.height // R) * R, -(-intr.width // C) * C
+        OPS_PER_ELEM = 26  # 4 planes x FMA + min/clip/select/pack/reduce
+        CORR_OPS = 45  # per-pixel correction ops per visited tile
+        total_ops = 0.0
+        for s in range(gb.shape[0]):
+            tr = np.arange(hp // R) * R + 0.5
+            tc = np.arange(wp // C) * C + 0.5
+            rows_hit = (gb[s, 1] >= tr) & (gb[s, 0] <= tr + R - 1)
+            cols_hit = (gb[s, 3] >= tc) & (gb[s, 2] <= tc + C - 1)
+            for r0 in tr[rows_hit]:
+                for c0 in tc[cols_hit]:
+                    passing = (
+                        (chunk_bb[s, :, 1] >= r0) & (chunk_bb[s, :, 0] <= r0 + R - 1)
+                        & (chunk_bb[s, :, 3] >= c0) & (chunk_bb[s, :, 2] <= c0 + C - 1)
+                    ).sum()
+                    total_ops += passing * ERR_CHUNK * R * C * OPS_PER_ELEM
+                    total_ops += R * C * CORR_OPS
+        ops_per_cand = total_ops / gb.shape[0]
+        VPU_PEAK = 3.85e12
+        vpu_frac = round(ops_per_cand * cand_per_s / VPU_PEAK, 3)
+    except Exception as e:
+        print(f"# roofline estimate skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     # End-to-end per-frame evaluation (full fused SLU recipe, synthetic
     # targets): >=100 fresh random poses, latency p50/p90 + error
@@ -158,6 +225,8 @@ def _main():
             "e2e_p90_ms_per_frame": p90_ms,
             "e2e_median_err_deg": med_err_deg,
             "e2e_p90_err_deg": p90_err_deg,
+            "vpu_roofline_frac": vpu_frac,
+            "vpu_peak_tops_assumed": 3.85,
             "device": str(jax.devices()[0]),
         },
     }

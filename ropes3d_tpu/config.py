@@ -40,6 +40,12 @@ DEFAULT_MAX_TRIS_PER_LINK = 256
 # Reference budgets 10% of nvidia-smi VRAM (constants.py:28); here the
 # budget is against TPU HBM (or host RAM on CPU backends).
 HBM_MEMORY_ALLOWED_FOR_LOOKUP = 0.1
+# Storage dtype of the device-resident lookup depth stack.  "bfloat16"
+# halves the HBM traffic of the (bandwidth-bound) lookup argmin; the ~0.4%
+# value quantization can flip near-tied seeds vs the reference's f32
+# comparison (downstream stages re-optimize either seed).  Set to
+# "float32" for bit-parity seed selection.
+LOOKUP_STACK_DTYPE = "bfloat16"
 LOOKUP_NAME_LENGTH = 5
 LOOKUP_MAX_DIV_PER_LINK = 200
 LOOKUP_JOINTS = "SLU"

@@ -163,7 +163,10 @@ def lookup_error(tgt_sqrt: jnp.ndarray, lookup_sqrt: jnp.ndarray) -> jnp.ndarray
     Both inputs are sqrt-domain depth (reference predict.py:117,167-171);
     ``tgt_sqrt`` is the cropped target [H, W], ``lookup_sqrt`` the
     pre-rendered stack [N, H, W] — broadcasting replaces the reference's
-    explicit ``tf.stack([target]*N)`` upload (predict.py:406).
+    explicit ``tf.stack([target]*N)`` upload (predict.py:406).  Callers may
+    pass a bfloat16 stack (config.LOOKUP_STACK_DTYPE); the arithmetic here
+    upcasts to f32, but quantized inputs can flip near-tied candidates vs
+    an all-f32 comparison.
     """
     m, s = mean_abs_std(tgt_sqrt[None] - lookup_sqrt)
     return m * s

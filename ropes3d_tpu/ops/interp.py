@@ -24,6 +24,14 @@ def cubic_spline_uniform(lo, hi, y: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     t : [m] evaluation points (must lie within [lo, hi])
     """
     n = y.shape[0]
+    if n < 4:
+        # The not-a-knot system is singular at n == 3 (first and last rows
+        # coincide) and under-determined below that; scipy's 'cubic' also
+        # requires >= 4 points.
+        raise ValueError(
+            f"cubic_spline_uniform needs >= 4 knots, got {n} "
+            "(not-a-knot boundary conditions are singular below 4)"
+        )
     h = (hi - lo) / (n - 1)
 
     # Second derivatives M with not-a-knot boundary conditions.  The system
@@ -35,7 +43,7 @@ def cubic_spline_uniform(lo, hi, y: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     A[-1, -3], A[-1, -2], A[-1, -1] = 1.0, -2.0, 1.0
     for i in range(1, n - 1):
         A[i, i - 1], A[i, i], A[i, i + 1] = 1.0, 4.0, 1.0
-    Ainv = np.linalg.inv(A)
+    Ainv = np.linalg.solve(A, np.eye(n))
     b = jnp.zeros(n, y.dtype)
     interior = 6.0 * (y[2:] - 2.0 * y[1:-1] + y[:-2]) / (h * h)
     b = b.at[1:-1].set(interior)

@@ -23,8 +23,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 32  # triangles per inner step (empirically best on v5e: larger
-# chunks coarsen bbox culling and lose more than the loop rounds save)
+CHUNK = 32  # triangles per inner step of the depth-map kernels
+# (empirically best on v5e: larger chunks coarsen bbox culling and lose
+# more than the loop rounds save)
+ERR_CHUNK = 64  # triangles per inner step of the fused-error kernel; its
+# FMA plane evaluation has lower per-chunk fixed cost than the MXU dot, so
+# the optimum shifts coarser (v5e sweep: 16=14.8k, 32=17.9k, 64=19.7k,
+# 128=14.1k cand/s on the 6-link headline eval)
 TILE_R = 8  # pixel-tile rows
 TILE_C = 128  # pixel-tile cols (one lane register width)
 
@@ -167,10 +172,10 @@ def _raster_kernel_batch(
     pl.run_scoped(run, pltpu.VMEM((1, TILE_R, TILE_C), jnp.int32))
 
 
-def _pad_tris(coeffs, qrange, vrange, link_ids):
-    """Pad the triangle axis (last-but-batch) to a CHUNK multiple."""
+def _pad_tris(coeffs, qrange, vrange, link_ids, chunk=CHUNK):
+    """Pad the triangle axis (last-but-batch) to a ``chunk`` multiple."""
     N = coeffs.shape[-3]
-    pad = (-N) % CHUNK
+    pad = (-N) % chunk
     if pad:
         batch = coeffs.shape[:-3]
         dead = jnp.broadcast_to(
@@ -271,8 +276,8 @@ def _raster_error_kernel(
     origin_ref,  # SMEM [2] f32
     gbbox_ref,  # SMEM [1, 1, 4] f32 — per-candidate silhouette bbox
     chunk_bbox_ref,  # SMEM [1, n_chunks, 4] f32 (per-candidate block)
-    tonly_ref,  # SMEM [n_tiles, NUM_PARTS] f32 — empty-render tile partials
-    coeffs_ref,  # VMEM [1, N, 4, 3] f32 (per-candidate block)
+    base_ref,  # SMEM [NUM_PARTS] f32 — whole-frame target-only partials
+    coeffs_ref,  # VMEM [1, N, 12] f32 (per-candidate block, planar coefs)
     qrange_ref,  # VMEM [1, N, 2] f32
     lids_ref,  # VMEM [N, 1] i32 (shared)
     tmask_ref,  # VMEM [6, Hp, Wp] f32 — full target link masks (shared)
@@ -288,20 +293,26 @@ def _raster_error_kernel(
 ):
     """Fused raster + error reduction, ONE grid program per candidate.
 
-    The row-tile loop lives *inside* the kernel (fori over ``hp/ERR_TILE_R``
-    stripes of the full padded width), so per-candidate cost is one grid
-    step instead of ~24 — grid-program switch overhead dominated the
-    small-batch evals that descent loops issue.  Every term of the
-    reference error (predict.py:475-509) is a linear pixel reduction, so
-    stripe-local sums accumulate exactly.  The [H, W] depth/link-id maps
-    never leave VMEM.
+    Every term of the reference error (predict.py:475-509) decomposes as
 
-    Tiles outside the candidate's silhouette bbox (``gbbox_ref``) skip all
-    raster/reduction work and add the precomputed empty-render target
-    partials (``tonly_ref``) instead — exact, because every error term on
-    an empty tile reduces to a target-only sum.  The robot covers a small
-    fraction of the frame, so this cuts the per-candidate tile work ~3x
-    (the inner loop of every descent stage)."""
+        term = (target-only total over the frame)
+             + (correction on render-covered pixels only)
+
+    e.g. ``sum(|t_masked - d*rm|) = sum(t_masked) + sum_rm(|t_masked-d| -
+    t_masked)`` — so the accumulator starts from the precomputed
+    candidate-independent frame totals (``base_ref``) and the tile loop
+    visits ONLY tiles intersecting the candidate's silhouette bbox
+    (dynamic trip count from ``gbbox_ref``), adding corrections where the
+    render actually lands.  The robot covers a small fraction of the
+    frame, so per-candidate tile work tracks silhouette size, not image
+    size — the inner loop of every descent stage.
+
+    Edge/inverse-depth planes are evaluated as broadcast FMAs on the VPU:
+    a K=3 MXU dot wastes ~98% of the systolic array and was measured ~2x
+    slower than the elementwise form at these shapes.  The packed
+    (inverse-depth | link-id) key uses 0 as the background sentinel (a
+    covered pixel's key is >= 2^23; an empty slot's is its link id < 8),
+    which drops a per-chunk select from the hot loop."""
     R = ERR_TILE_R
     C = 128  # lane width — reshapes must keep 128 lanes (Mosaic layout rule)
     n_rt = hp // R
@@ -309,47 +320,46 @@ def _raster_error_kernel(
     P = R * C
 
     def run(kacc, pacc):
-        pacc[:] = jnp.zeros((1, 8, _PARTS_LANES), jnp.float32)
+        base = jnp.stack(
+            [base_ref[i] for i in range(NUM_PARTS)]
+        ).reshape(1, 1, NUM_PARTS)
+        pacc[:] = jnp.pad(
+            base, ((0, 0), (0, 7), (0, _PARTS_LANES - NUM_PARTS))
+        )
 
-        def tile(t, _):
-            t_r = t // n_ct
-            t_c = t % n_ct
-            row_min = origin_ref[0] + t_r.astype(jnp.float32) * R + 0.5
+        o0 = origin_ref[0]
+        o1 = origin_ref[1]
+        vmin = gbbox_ref[0, 0, 0]
+        vmax = gbbox_ref[0, 0, 1]
+        umin = gbbox_ref[0, 0, 2]
+        umax = gbbox_ref[0, 0, 3]
+        # Tile-index ranges intersecting the bbox.  Clamp in f32 BEFORE the
+        # int cast: an off-screen candidate has an (inf, -inf) bbox, which
+        # must clamp to an empty range, not overflow the cast.
+        tr_lo = jnp.clip(jnp.ceil((vmin - o0 - 0.5 - (R - 1)) / R), 0.0, n_rt)
+        tr_hi = jnp.clip(jnp.floor((vmax - o0 - 0.5) / R), -1.0, n_rt - 1.0)
+        tc_lo = jnp.clip(jnp.ceil((umin - o1 - 0.5 - (C - 1)) / C), 0.0, n_ct)
+        tc_hi = jnp.clip(jnp.floor((umax - o1 - 0.5) / C), -1.0, n_ct - 1.0)
+        tr0 = tr_lo.astype(jnp.int32)
+        tc0 = tc_lo.astype(jnp.int32)
+        ntr = jnp.maximum(tr_hi.astype(jnp.int32) - tr0 + 1, 0)
+        ntc = jnp.maximum(tc_hi.astype(jnp.int32) - tc0 + 1, 0)
+
+        def tile(i, _):
+            t_r = tr0 + i // jnp.maximum(ntc, 1)
+            t_c = tc0 + i % jnp.maximum(ntc, 1)
+            row_min = o0 + t_r.astype(jnp.float32) * R + 0.5
             row_max = row_min + (R - 1)
-            col_min = origin_ref[1] + t_c.astype(jnp.float32) * C + 0.5
+            col_min = o1 + t_c.astype(jnp.float32) * C + 0.5
             col_max = col_min + (C - 1)
-            covered_tile = (
-                (gbbox_ref[0, 0, 1] >= row_min)
-                & (gbbox_ref[0, 0, 0] <= row_max)
-                & (gbbox_ref[0, 0, 3] >= col_min)
-                & (gbbox_ref[0, 0, 2] <= col_max)
-            )
 
-            @pl.when(jnp.logical_not(covered_tile))
-            def _skip():
-                vals = jnp.stack(
-                    [tonly_ref[t, i] for i in range(NUM_PARTS)]
-                ).reshape(1, 1, NUM_PARTS)
-                pacc[:] = pacc[:] + jnp.pad(
-                    vals, ((0, 0), (0, 7), (0, _PARTS_LANES - NUM_PARTS))
-                )
-
-            @pl.when(covered_tile)
-            def _render_tile():
-                _tile_body(t_r, t_c, row_min, row_max, col_min, col_max)
-
-            return 0
-
-        def _tile_body(t_r, t_c, row_min, row_max, col_min, col_max):
             rows = t_r * R + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
             cols = t_c * C + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-            py = rows.astype(jnp.float32) + (origin_ref[0] + 0.5)
-            px = cols.astype(jnp.float32) + (origin_ref[1] + 0.5)
-            X = jnp.stack(
-                [px.reshape(P), py.reshape(P), jnp.ones((P,), jnp.float32)],
-                axis=0,
-            )
-            kacc[:] = jnp.full((R, C), -1, jnp.int32)
+            py = rows.astype(jnp.float32) + (o0 + 0.5)
+            px = cols.astype(jnp.float32) + (o1 + 0.5)
+            pxf = px.reshape(1, P)
+            pyf = py.reshape(1, P)
+            kacc[:] = jnp.zeros((R, C), jnp.int32)
 
             def chunk(c, _):
                 @pl.when(
@@ -359,25 +369,20 @@ def _raster_error_kernel(
                     & (chunk_bbox_ref[0, c, 2] <= col_max)
                 )
                 def _():
-                    A = coeffs_ref[0, pl.ds(c * CHUNK, CHUNK)].reshape(
-                        CHUNK * 4, 3
-                    )
-                    E = jnp.dot(
-                        A, X,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    E4 = E.reshape(CHUNK, 4, P)
-                    covered = (
-                        (E4[:, 0] >= 0.0) & (E4[:, 1] >= 0.0) & (E4[:, 2] >= 0.0)
-                    )
-                    qlo = qrange_ref[0, pl.ds(c * CHUNK, CHUNK), 0][:, None]
-                    qhi = qrange_ref[0, pl.ds(c * CHUNK, CHUNK), 1][:, None]
-                    q = jnp.clip(E4[:, 3], qlo, qhi)
-                    qv = jnp.where(covered & (q > 0), q, 0.0)
-                    lidv = lids_ref[pl.ds(c * CHUNK, CHUNK), 0][:, None]
+                    A = coeffs_ref[0, pl.ds(c * ERR_CHUNK, ERR_CHUNK), :]
+                    e0 = A[:, 0:1] * pxf + A[:, 1:2] * pyf + A[:, 2:3]
+                    e1 = A[:, 3:4] * pxf + A[:, 4:5] * pyf + A[:, 5:6]
+                    e2 = A[:, 6:7] * pxf + A[:, 7:8] * pyf + A[:, 8:9]
+                    m = jnp.minimum(jnp.minimum(e0, e1), e2)
+                    q = A[:, 9:10] * pxf + A[:, 10:11] * pyf + A[:, 11:12]
+                    qlo = qrange_ref[0, pl.ds(c * ERR_CHUNK, ERR_CHUNK), 0][:, None]
+                    qhi = qrange_ref[0, pl.ds(c * ERR_CHUNK, ERR_CHUNK), 1][:, None]
+                    q = jnp.clip(q, qlo, qhi)
+                    qv = jnp.where(m >= 0.0, q, 0.0)
+                    lidv = lids_ref[pl.ds(c * ERR_CHUNK, ERR_CHUNK), 0][:, None]
+                    # Background key = link id (< 8); any covered pixel's
+                    # key is >= 2^23 (positive normal f32 bit pattern).
                     key = (jax.lax.bitcast_convert_type(qv, jnp.int32) & ~7) | lidv
-                    key = jnp.where(qv > 0, key, -1)
                     kacc[:] = jnp.maximum(
                         kacc[:], jnp.max(key, axis=0).reshape(R, C)
                     )
@@ -388,44 +393,58 @@ def _raster_error_kernel(
 
             kmax = kacc[:]
             validpix = (rows < h) & (cols < w)
-            hit = (kmax >= 0) & validpix
+            hit = (kmax >= 8) & validpix
+            hitf = hit.astype(jnp.float32)
             qmax = jax.lax.bitcast_convert_type(kmax & ~7, jnp.float32)
             depth = jnp.where(hit, 1.0 / jnp.maximum(qmax, 1e-12), 0.0)
-            lid = jnp.where(hit, kmax & 7, -1)
-            vp = validpix.astype(jnp.float32)
+            lid = kmax & 7
             rs_ = pl.ds(t_r * R, R)
             cs_ = pl.ds(t_c * C, C)
 
-            partials = []
-            # Per-link terms for links 1..5 (base never scored, error.py).
-            for li in range(1, 6):
-                rm = lid == li
-                tm = tmask_ref[li, rs_, cs_] > 0.0
-                partials.append(jnp.sum(jnp.where(rm != tm, vp, 0.0)))
-            for li in range(1, 6):
-                rm = lid == li
-                adiff = jnp.abs(tmasked_ref[li, rs_, cs_] - depth * rm)
-                nz = (adiff != 0.0) & validpix
-                partials.append(jnp.sum(jnp.where(nz, adiff, 0.0)))
-            for li in range(1, 6):
-                rm = lid == li
-                adiff = jnp.abs(tmasked_ref[li, rs_, cs_] - depth * rm)
-                partials.append(
-                    jnp.sum(((adiff != 0.0) & validpix).astype(jnp.float32))
+            # Corrections on render-covered pixels (see kernel docstring).
+            corr = []
+            rms = [(hit & (lid == li)).astype(jnp.float32) for li in range(1, 6)]
+            for li, rmf in zip(range(1, 6), rms):
+                tm = tmask_ref[li, rs_, cs_]
+                corr.append(jnp.sum(rmf) - 2.0 * jnp.sum(rmf * tm))
+            for li, rmf in zip(range(1, 6), rms):
+                a = tmasked_ref[li, rs_, cs_]
+                ad = jnp.abs(a - depth)
+                corr.append(jnp.sum(rmf * (ad - a)))
+            for li, rmf in zip(range(1, 6), rms):
+                a = tmasked_ref[li, rs_, cs_]
+                ad = jnp.abs(a - depth)
+                corr.append(
+                    jnp.sum(
+                        rmf
+                        * (
+                            (ad != 0.0).astype(jnp.float32)
+                            - (a != 0.0).astype(jnp.float32)
+                        )
+                    )
                 )
-            # Global diff terms (zeros contribute nothing to the sums).
-            diff = jnp.abs(tdepth_ref[rs_, cs_] - depth) * vp
-            partials.append(jnp.sum(diff))
-            partials.append(jnp.sum((diff != 0.0).astype(jnp.float32)))
-            partials.append(jnp.sum(diff * diff))
+            t = tdepth_ref[rs_, cs_]
+            d = jnp.abs(t - depth)
+            corr.append(jnp.sum(hitf * (d - t)))
+            corr.append(
+                jnp.sum(
+                    hitf
+                    * (
+                        (d != 0.0).astype(jnp.float32)
+                        - (t != 0.0).astype(jnp.float32)
+                    )
+                )
+            )
+            corr.append(jnp.sum(hitf * (d * d - t * t)))
 
-            vec = jnp.stack(partials).reshape(1, 1, NUM_PARTS)
+            vec = jnp.stack(corr).reshape(1, 1, NUM_PARTS)
             vec = jnp.pad(
                 vec, ((0, 0), (0, 7), (0, _PARTS_LANES - NUM_PARTS))
             )
             pacc[:] = pacc[:] + vec
+            return 0
 
-        jax.lax.fori_loop(0, n_rt * n_ct, tile, 0)
+        jax.lax.fori_loop(0, ntr * ntc, tile, 0)
         parts_ref[:] = pacc[:]
 
     pl.run_scoped(
@@ -460,11 +479,13 @@ def rasterize_error_pallas(
 
     Sized for working resolutions (padded width <= 512); callers fall back
     to rasterize + link_error beyond that."""
-    coeffs, qrange, vrange, link_ids = _pad_tris(coeffs, qrange, vrange, link_ids)
+    coeffs, qrange, vrange, link_ids = _pad_tris(
+        coeffs, qrange, vrange, link_ids, chunk=ERR_CHUNK
+    )
     B, Np = coeffs.shape[0], coeffs.shape[1]
-    n_chunks = Np // CHUNK
+    n_chunks = Np // ERR_CHUNK
 
-    cb = vrange.reshape(B, n_chunks, CHUNK, 4)
+    cb = vrange.reshape(B, n_chunks, ERR_CHUNK, 4)
     chunk_bbox = jnp.stack(
         [cb[..., 0].min(2), cb[..., 1].max(2), cb[..., 2].min(2), cb[..., 3].max(2)],
         axis=-1,
@@ -491,28 +512,23 @@ def rasterize_error_pallas(
     )
     tdepth = jnp.pad(tdepth.astype(jnp.float32), ((0, hp - h), (0, wp - w)))
 
-    # Empty-render target-only partials per tile: what every error term
-    # reduces to on a tile the candidate's silhouette misses.  Candidate-
-    # independent — computed once per eval call, tiny [n_tiles, NUM_PARTS].
-    n_rt, n_ct = hp // ERR_TILE_R, wp // 128
-
-    def tile_sums(x):  # [hp, wp] -> [n_tiles]
-        return x.reshape(n_rt, ERR_TILE_R, n_ct, 128).sum((1, 3)).reshape(-1)
-
-    tonly = jnp.stack(
-        [tile_sums(tmask[li]) for li in range(1, 6)]
-        + [tile_sums(jnp.abs(tmasked[li])) for li in range(1, 6)]
+    # Whole-frame target-only partials: what every error term reduces to on
+    # an empty render.  The kernel starts its accumulator here and adds
+    # corrections only where the candidate's silhouette lands — candidate-
+    # independent, computed once per eval call.
+    base = jnp.stack(
+        [jnp.sum(tmask[li]) for li in range(1, 6)]
+        + [jnp.sum(jnp.abs(tmasked[li])) for li in range(1, 6)]
         + [
-            tile_sums((tmasked[li] != 0.0).astype(jnp.float32))
+            jnp.sum((tmasked[li] != 0.0).astype(jnp.float32))
             for li in range(1, 6)
         ]
         + [
-            tile_sums(tdepth),
-            tile_sums((tdepth != 0.0).astype(jnp.float32)),
-            tile_sums(tdepth * tdepth),
+            jnp.sum(tdepth),
+            jnp.sum((tdepth != 0.0).astype(jnp.float32)),
+            jnp.sum(tdepth * tdepth),
         ],
-        axis=-1,
-    )  # [n_tiles, NUM_PARTS]
+    )  # [NUM_PARTS]
 
     kernel = functools.partial(
         _raster_error_kernel, n_chunks=n_chunks, h=h, w=w, hp=hp, wp=wp
@@ -534,7 +550,7 @@ def rasterize_error_pallas(
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, Np, 4, 3), lambda b: (b, 0, 0, 0),
+                (1, Np, 12), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -553,7 +569,7 @@ def rasterize_error_pallas(
         out_shape=jax.ShapeDtypeStruct((B, 8, _PARTS_LANES), jnp.float32),
         interpret=interpret,
     )(
-        origin, gbbox, chunk_bbox, tonly, coeffs, qrange,
+        origin, gbbox, chunk_bbox, base, coeffs.reshape(B, Np, 12), qrange,
         link_ids[:, None].astype(jnp.int32), tmask, tmasked, tdepth,
     )
     return parts[:, 0, :NUM_PARTS]

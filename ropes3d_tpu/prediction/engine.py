@@ -178,7 +178,16 @@ class CandidateEvaluator:
     def _eval_fn(self, to_render: int):
         link_active = (np.arange(6) >= 1) & (np.arange(6) < to_render)
 
-        if jax.default_backend() not in ("cpu", "gpu"):
+        # The fused raster+error kernel keeps the full padded target maps in
+        # VMEM and is sized for working resolutions (padded width <= 512,
+        # rasterizer_pallas.py); larger configs (e.g. -ds_factor 2 on
+        # 1280-wide intrinsics) fall through to the two-step
+        # rasterize + link_error path below.
+        wp = -(-self.w // 128) * 128
+        hp = -(-self.h // 8) * 8
+        fused_fits = wp <= 512 and (2 * 6 + 1) * hp * wp * 4 <= 8 * 2**20
+
+        if fused_fits and jax.default_backend() not in ("cpu", "gpu"):
             # TPU: fused raster+error kernel — one launch per eval, no
             # [B, H, W] HBM round trip (the inner loop of every stage).
             from ..ops.error import link_error_from_parts
@@ -546,7 +555,10 @@ class CandidateEvaluator:
     ) -> jnp.ndarray:
         """Lookup-stage argmin.  NOTE reference parity: the target is raw
         depth while the stack is sqrt-domain (predict.py:117 vs 406) — the
-        comparison is a silhouette-weighted heuristic, reproduced exactly."""
+        comparison is a silhouette-weighted heuristic.  The formula is the
+        reference's; with the default bfloat16 stack storage
+        (config.LOOKUP_STACK_DTYPE) near-tied seeds can differ from an f32
+        comparison — use "float32" for bit-parity selection."""
         m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
         err = m * s
         return lookup_angles[jnp.argmin(err)]

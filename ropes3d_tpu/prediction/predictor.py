@@ -133,14 +133,20 @@ class Predictor:
         ang, depth = lm.get(
             self.intrinsics, self.camera_pose, LOOKUP_NUM_RENDERED, LOOKUP_JOINTS
         )
+        from ..config import LOOKUP_STACK_DTYPE
+
         angles = jnp.asarray(ang, jnp.float32)
         # Sqrt-domain device-resident stack (predict.py:117), sharded over
         # the candidate axis when multiple chips are attached.  Stored
-        # bfloat16: the lookup argmin is HBM-bound (the stack is read once
-        # per frame) and the ~0.4% value quantization only perturbs
-        # near-tied seeds that the downstream stages re-optimize anyway;
-        # the error arithmetic itself stays f32 (mean_abs_std upcasts).
-        stack = jnp.sqrt(jnp.asarray(depth, jnp.float32)).astype(jnp.bfloat16)
+        # bfloat16 by default (config.LOOKUP_STACK_DTYPE): the lookup argmin
+        # is HBM-bound (the stack is read once per frame) and the ~0.4%
+        # value quantization only perturbs near-tied seeds that the
+        # downstream stages re-optimize anyway; the error arithmetic itself
+        # stays f32 (mean_abs_std upcasts).  Set "float32" for bit-parity
+        # seed selection.
+        stack = jnp.sqrt(jnp.asarray(depth, jnp.float32)).astype(
+            jnp.dtype(LOOKUP_STACK_DTYPE)
+        )
         self.lookup_depth, self.lookup_angles, self._lookup_mesh = (
             shard_lookup_stack(stack, angles)
         )
@@ -233,11 +239,13 @@ class Predictor:
         program, so a frame costs a single dispatch plus the 6-float
         read-back (the read-back round trip dominates on remote-attached
         chips)."""
-        if self._lookup_mesh is not None:
+        if self._lookup_mesh is not None or self.preview:
             # Sharded lookup stack: the recipe must split into a
             # collective-bearing lookup dispatch + a seeded search program
             # (engine.run_recipe does this) — device prep, then the split
             # recipe.  The all-in-one fusion below is the single-chip path.
+            # Preview mode also routes here: _run_stages falls back to the
+            # stepwise loop so intermediate states can be visualised.
             if not hasattr(self, "_synth_prep"):
                 self._synth_prep = self._prepare_synthetic_device()
             with self.timer.stage("target_load"):
@@ -375,7 +383,9 @@ class Predictor:
         """Fused neural-path fast lane: full-res (color, depth) in, angles
         out — segmentation, target prep and the whole stage recipe as one
         device program (mirrors :meth:`run_synthetic`)."""
-        if self._lookup_mesh is not None:
+        if self._lookup_mesh is not None or self.preview:
+            # Preview routes through _run_stages' stepwise loop (see
+            # run_synthetic).
             if not hasattr(self, "_real_prep"):
                 self._real_prep = jax.jit(self._real_prep_core())
             with self.timer.stage("target_load"):
