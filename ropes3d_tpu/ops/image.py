@@ -76,6 +76,46 @@ def close_mask(mask: jnp.ndarray, dilate_by: int = 8, erode_by: int = 7) -> jnp.
     return erode(dilate(mask.astype(jnp.float32), dilate_by), erode_by) > 0
 
 
+def paste_box_masks(
+    masks: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray,
+    h: int, w: int,
+) -> jnp.ndarray:
+    """Paste per-detection in-box masks [K, S, S] into frame masks [K, h, w].
+
+    Device equivalent of the host lane's per-detection
+    ``cv2.resize`` paste (``models.inference.Segmenter._paste_mask``):
+    the paste box is the integer floor/ceil of the float box clamped to the
+    frame, and the S x S mask samples with the (x+0.5)*src/dst-0.5 bilinear
+    convention over that INTEGER box — identical geometry, so fused-lane
+    masks match the canonical path instead of rounding differently at box
+    edges.  Fixed shapes; one program for any detection count.
+    """
+    S = masks.shape[-1]
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def paste(mask_ss, box, ok):
+        from jax.scipy.ndimage import map_coordinates
+
+        y1i = jnp.maximum(jnp.floor(box[0]), 0.0)
+        x1i = jnp.maximum(jnp.floor(box[1]), 0.0)
+        y2i = jnp.minimum(jnp.ceil(box[2]), float(h))
+        x2i = jnp.minimum(jnp.ceil(box[3]), float(w))
+        bh = jnp.maximum(y2i - y1i, 1.0)
+        bw = jnp.maximum(x2i - x1i, 1.0)
+        sy = (yy - y1i + 0.5) * (S / bh) - 0.5
+        sx = (xx - x1i + 0.5) * (S / bw) - 0.5
+        val = map_coordinates(
+            mask_ss.astype(jnp.float32),
+            [jnp.broadcast_to(sy, (h, w)), jnp.broadcast_to(sx, (h, w))],
+            order=1, mode="nearest",
+        )
+        inside = (yy >= y1i) & (yy < y2i) & (xx >= x1i) & (xx < x2i)
+        return inside & ok & (val > 0.5)
+
+    return jax.vmap(paste)(masks, boxes, valid)
+
+
 # ---------------------------------------------------------------- colormap
 # 16-entry turbo colormap control points (public matplotlib 'turbo' samples),
 # linearly interpolated — close visual parity with cv2.COLORMAP_TURBO.

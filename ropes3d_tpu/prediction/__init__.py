@@ -6,6 +6,7 @@ from .stages import (
     ISweep,
     IntSweep,
     Lookup,
+    Polish,
     SFlip,
     TensorSweep,
     TSweep,
@@ -14,6 +15,7 @@ from .stages import (
 
 __all__ = [
     "Lookup",
+    "Polish",
     "SFlip",
     "InterpolativeSweep",
     "TensorSweep",

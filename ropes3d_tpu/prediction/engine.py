@@ -35,12 +35,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..camera import Intrinsics, camera_matrices
-from ..ops.error import TargetBundle, link_error, mean_abs_std
+from ..ops.error import (
+    TargetBundle, empty_render_error, link_error, mean_abs_std,
+)
 from ..ops.interp import cubic_spline_uniform
 from ..ops.rasterizer import render_batch
 from ..robot import MeshLoader, URDFReader
 from ..robot.kinematics import make_fk
-from .stages import Descent, InterpolativeSweep, Lookup, SFlip, TensorSweep
+from .stages import Descent, InterpolativeSweep, Lookup, Polish, SFlip, TensorSweep
 
 
 def _stage_key(stages) -> tuple:
@@ -70,6 +72,11 @@ def _stage_key(stages) -> tuple:
             ))
         elif isinstance(s, SFlip):
             key.append(("sflip", s.to_render))
+        elif isinstance(s, Polish):
+            key.append((
+                "polish", s.to_render, s.radii,
+                tuple(bool(b) for b in s.joints),
+            ))
         else:
             raise TypeError(f"Unknown stage type {type(s).__name__}")
     return tuple(key)
@@ -402,12 +409,13 @@ class CandidateEvaluator:
         "isweep": (0, None, 0, None, None),
         "tsweep": (0, None, 0, None, None),
         "sflip": (0, None, 0, None),
+        "polish": (0, None, 0),
     }
 
     @functools.lru_cache(maxsize=32)
     def _stage_jit(
         self, kind: str, to_render: int, divs: int = 0, batched: bool = False,
-        joints: tuple = (),
+        joints: tuple = (), radii: tuple = (),
     ):
         """jit (optionally vmapped-over-frames) wrapper around a stage core.
 
@@ -420,6 +428,7 @@ class CandidateEvaluator:
             "isweep": lambda: self._isweep_fn(to_render, divs),
             "tsweep": lambda: self._tsweep_fn(to_render, divs),
             "sflip": lambda: self._sflip_fn(to_render),
+            "polish": lambda: self._polish_fn(to_render, joints, radii),
         }[kind]()
         if batched:
             axes = self._STAGE_VMAP_AXES[kind.replace("_jacobi", "")]
@@ -598,6 +607,44 @@ class CandidateEvaluator:
 
         return jax.lax.map(one, tgt_crops)
 
+    # ------------------------------------------------------------ polish
+    @functools.lru_cache(maxsize=16)
+    def _polish_fn(self, to_render: int, joints: tuple, radii: tuple):
+        """Fine pattern search (stages.Polish): per radius, ONE batched eval
+        of all 3^k offset combinations over the active joints; keep the
+        argmin (the zero offset is a candidate, so the error never
+        regresses).  Candidates outside joint limits are clamped."""
+        eval_batch = self._eval_fn(to_render)
+        limits = self.joint_limits
+        active = [j for j, b in enumerate(joints) if b]
+        k = len(active)
+        # [3^k, 6] unit offsets over active joints.
+        grids = np.meshgrid(*([[-1.0, 0.0, 1.0]] * k), indexing="ij")
+        combos = np.stack([g.ravel() for g in grids], axis=-1)  # [3^k, k]
+        offsets = np.zeros((combos.shape[0], 6), np.float32)
+        offsets[:, active] = combos
+
+        def polish(state: SearchState, w2c, target: TargetBundle) -> SearchState:
+            angles = state.angles
+            off = jnp.asarray(offsets)
+            for r in radii:
+                cands = jnp.clip(
+                    angles[None] + off * r, limits[:, 0], limits[:, 1]
+                )
+                errs = eval_batch(cands, w2c, target)
+                angles = cands[jnp.argmin(errs)]
+            history2 = jnp.concatenate([angles[None], state.history[:-1]])
+            return state._replace(angles=angles, history=history2)
+
+        return polish
+
+    def polish(self, state: SearchState, target: TargetBundle, stage) -> SearchState:
+        f = self._stage_jit(
+            "polish", stage.to_render, batched=state.angles.ndim == 2,
+            joints=tuple(bool(b) for b in stage.joints), radii=stage.radii,
+        )
+        return f(state, self._w2c, target)
+
     # ------------------------------------------------------------ sflip
     @functools.lru_cache(maxsize=8)
     def _sflip_fn(self, to_render: int):
@@ -648,6 +695,9 @@ class CandidateEvaluator:
         kind = skey[0]
         if kind == "sflip":
             return self._sflip_fn(skey[1])(state, w2c, target, cam_pose)
+        if kind == "polish":
+            _, to_render, radii, joints = skey
+            return self._polish_fn(to_render, joints, radii)(state, w2c, target)
         if kind == "descent":
             _, to_render, its, redux, early, init_rate, joints = skey
             fn = (
@@ -680,10 +730,11 @@ class CandidateEvaluator:
 
     @functools.lru_cache(maxsize=16)
     def _recipe_jit(self, key, topk, jacobi, batched, history_length,
-                    final_render: int = 6, seeded: bool = False):
+                    final_render: int = 6, seeded: bool = False,
+                    with_conf: bool = False):
         return jax.jit(
             self._recipe_fn(key, topk, jacobi, batched, history_length,
-                            final_render, seeded)
+                            final_render, seeded, with_conf)
         )
 
     @functools.lru_cache(maxsize=16)
@@ -696,6 +747,7 @@ class CandidateEvaluator:
         history_length: int,
         final_render: int = 6,
         seeded: bool = False,
+        with_conf: bool = False,
     ):
         """Compile an entire stage recipe into ONE device program.
 
@@ -732,6 +784,8 @@ class CandidateEvaluator:
                 self._isweep_fn(sk[1], sk[2])
             elif kind == "tsweep":
                 self._tsweep_fn(sk[1], sk[2])
+            elif kind == "polish":
+                self._polish_fn(sk[1], sk[3], sk[2])
 
         def lookup_one(tgt_crop, lookup_sqrt, lookup_angles):
             m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
@@ -748,6 +802,24 @@ class CandidateEvaluator:
             return state.angles
 
         eval6 = self._eval_fn(final_render)
+        la_final = (np.arange(6) >= 1) & (np.arange(6) < final_render)
+
+        def conf_of(err, target):
+            """Wrong-basin confidence: final error as a fraction of the error
+            an EMPTY render would score on this target (converged fits sit at
+            a small fraction; wrong basins stay large — the predictor's
+            adaptive top-k escape keys off this, VERDICT r2 item 5)."""
+            base = empty_render_error(target, jnp.asarray(la_final))
+            return err / jnp.maximum(base, 1e-9)
+
+        def finish(angles, w2c, target):
+            # with_conf packs the ratio into the angles vector ([...,7]) so
+            # the host still does ONE small read-back (a second device->host
+            # pull costs ~30 ms on tunneled chips).
+            if not with_conf:
+                return angles
+            err = eval6(angles[None], w2c, target)[0]
+            return jnp.concatenate([angles, conf_of(err, target)[None]])
 
         if seeded:
             # Seeded variant: the lookup argmin has already run as its own
@@ -766,13 +838,20 @@ class CandidateEvaluator:
                         run_post, in_axes=(0, None, None, None)
                     )(seeds, w2c, target, cam_pose)
                     errs = eval6(all_angles, w2c, target)
-                    return all_angles[jnp.argmin(errs)]
-                return run_post(seeds, w2c, target, cam_pose)
+                    best = all_angles[jnp.argmin(errs)]
+                    if with_conf:
+                        return jnp.concatenate(
+                            [best, conf_of(jnp.min(errs), target)[None]]
+                        )
+                    return best
+                return finish(
+                    run_post(seeds, w2c, target, cam_pose), w2c, target
+                )
 
             if batched:
                 return jax.vmap(
-                    lambda w2c, cam_pose, target, seed: run_post(
-                        seed, w2c, target, cam_pose
+                    lambda w2c, cam_pose, target, seed: finish(
+                        run_post(seed, w2c, target, cam_pose), w2c, target
                     ),
                     in_axes=(None, None, 0, 0),
                 )
@@ -787,15 +866,20 @@ class CandidateEvaluator:
                     state = self._apply_stage(
                         sk, state, w2c, target, cam_pose, jacobi
                     )
-                return state.angles
+                return finish(state.angles, w2c, target)
             seeds = lookup_one(tgt_crop, lookup_sqrt, lookup_angles)
             if topk > 1:
                 all_angles = jax.vmap(
                     run_post, in_axes=(0, None, None, None)
                 )(seeds, w2c, target, cam_pose)
                 errs = eval6(all_angles, w2c, target)
-                return all_angles[jnp.argmin(errs)]
-            return run_post(seeds, w2c, target, cam_pose)
+                best = all_angles[jnp.argmin(errs)]
+                if with_conf:
+                    return jnp.concatenate(
+                        [best, conf_of(jnp.min(errs), target)[None]]
+                    )
+                return best
+            return finish(run_post(seeds, w2c, target, cam_pose), w2c, target)
 
         fn = single
         if batched:
@@ -810,9 +894,12 @@ class CandidateEvaluator:
                         lambda t: lookup_one(t, lookup_sqrt, lookup_angles),
                         tgt_crop,
                     )
-                    return jax.vmap(run_post, in_axes=(0, None, 0, None))(
-                        seeds, w2c, target, cam_pose
-                    )
+                    return jax.vmap(
+                        lambda seed, tgt: finish(
+                            run_post(seed, w2c, tgt, cam_pose), w2c, tgt
+                        ),
+                        in_axes=(0, 0),
+                    )(seeds, target)
 
                 fn = batched_fn
             else:
@@ -830,8 +917,13 @@ class CandidateEvaluator:
         jacobi: bool = False,
         batched: bool = False,
         history_length: int = 5,
+        with_conf: bool = False,
     ) -> jnp.ndarray:
         """Run a whole stage recipe as one fused device dispatch -> angles.
+
+        ``with_conf=True`` packs a wrong-basin confidence ratio (final
+        error / empty-render error) as a 7th trailing element per frame,
+        computed inside the same program — no extra dispatch or read-back.
 
         When the lookup stack is sharded across devices, the lookup argmin
         runs as its own (collective-bearing) dispatch and the rest of the
@@ -861,7 +953,8 @@ class CandidateEvaluator:
             # stays off the lookup mesh entirely.
             seeds = jnp.asarray(np.asarray(seeds), jnp.float32)
             f = self._recipe_jit(
-                key, topk, jacobi, batched, history_length, seeded=True
+                key, topk, jacobi, batched, history_length, seeded=True,
+                with_conf=with_conf,
             )
             return f(
                 self._w2c,
@@ -869,7 +962,9 @@ class CandidateEvaluator:
                 target,
                 seeds,
             )
-        f = self._recipe_jit(key, topk, jacobi, batched, history_length)
+        f = self._recipe_jit(
+            key, topk, jacobi, batched, history_length, with_conf=with_conf
+        )
         return f(
             self._w2c,
             jnp.asarray(self.camera_pose, jnp.float32),

@@ -23,6 +23,8 @@ import numpy as np
 
 from ..config import (
     DEFAULT_CAMERA_POSE,
+    ESCAPE_CONF_THRESH,
+    ESCAPE_TOPK,
     LOOKUP_JOINTS,
     LOOKUP_NUM_RENDERED,
 )
@@ -35,7 +37,9 @@ from ..simulation.lookup import RobotLookupManager
 from ..simulation.renderer import Renderer
 from ..utils import StageTimer
 from .engine import CandidateEvaluator, SearchState
-from .stages import Descent, InterpolativeSweep, Lookup, SFlip, TensorSweep, getStages
+from .stages import (
+    Descent, InterpolativeSweep, Lookup, Polish, SFlip, TensorSweep, getStages,
+)
 
 HISTORY_LENGTH = 5
 
@@ -53,18 +57,27 @@ class Predictor:
         model_ds: str = "set10",
         color_dict: Optional[dict] = None,
         search_mode: str = "parity",
-        lookup_topk: int = 1,
+        lookup_topk="auto",
     ):
         """``search_mode``: 'parity' (default) replays the reference's
         sequential per-joint descent exactly; 'fast' batches each descent
         iteration's joint probes into one eval with Jacobi updates (fewer,
         larger device steps — useful at higher working resolutions where
-        per-render cost dominates over iteration count)."""
+        per-render cost dominates over iteration count).
+
+        ``lookup_topk``: "auto" (default) runs single-seed and re-runs a
+        frame with the best ``ESCAPE_TOPK`` lookup seeds only when its
+        wrong-basin confidence ratio is ambiguous — single-seed cost on
+        confident frames, top-k robustness on the rest (the reference's
+        single-seed lookup shares the wrong-basin failure mode,
+        predict.py:163-171).  An int k > 1 forces k hypotheses always;
+        k = 1 forces pure single-seed."""
         assert search_mode in ("fast", "parity")
         self.search_mode = search_mode
         # lookup_topk > 1 refines the best k lookup seeds in parallel
         # (hypothesis-batched stages) and keeps the lowest-error result.
-        self.lookup_topk = lookup_topk
+        self.adaptive_escape = lookup_topk == "auto"
+        self.lookup_topk = 1 if self.adaptive_escape else int(lookup_topk)
         self.ds_factor, self.preview = ds_factor, preview
         self.do_angles = do_angles.upper()
         self.min_ang_inc = min_angle_inc
@@ -253,37 +266,65 @@ class Predictor:
                     jnp.asarray(depth_full), jnp.asarray(lid_full)
                 )
             return self._run_stages()
-        key = (self.search_mode, self.lookup_topk, tuple(self.camera_pose))
+        key = (
+            self.search_mode, self.lookup_topk, self.adaptive_escape,
+            tuple(self.camera_pose),
+        )
         if getattr(self, "_synth_run_key", None) != key:
-            from .engine import _stage_key
-
             self._setStages()
-            prep = self._synth_prep_core()
-            recipe = self.engine._recipe_fn(
-                _stage_key(self.stages),
-                self.lookup_topk,
-                self.search_mode == "fast",
-                False,
-                self.history_length,
+            self._synth_prep_fn = self._synth_prep_core()
+            self._synth_run = self._fused_run(
+                self._synth_prep_fn, self.lookup_topk, self.adaptive_escape
             )
-            w2c = self.engine._w2c
-            cam_vec = jnp.asarray(self.camera_pose, jnp.float32)
-
-            @jax.jit
-            def run1(depth_full, lid_full, lookup_depth, lookup_angles):
-                bundle, crop = prep(depth_full, lid_full)
-                return recipe(
-                    w2c, cam_vec, bundle, crop, lookup_depth, lookup_angles
-                )
-
-            self._synth_run = run1
+            self._synth_escape_run = None
             self._synth_run_key = key
         with self.timer.stage("synthetic_fused"):
             out = self._synth_run(
                 jnp.asarray(depth_full), jnp.asarray(lid_full),
                 self.lookup_depth, self.lookup_angles,
             )
-        return np.asarray(out, dtype=float)
+        out = np.asarray(out, dtype=float)
+        if not self.adaptive_escape:
+            return out
+        angles, conf = out[:6], out[6]
+        if conf > ESCAPE_CONF_THRESH:
+            with self.timer.stage("basin_escape"):
+                if self._synth_escape_run is None:
+                    self._synth_escape_run = self._fused_run(
+                        self._synth_prep_fn, ESCAPE_TOPK, False
+                    )
+                angles = np.asarray(
+                    self._synth_escape_run(
+                        jnp.asarray(depth_full), jnp.asarray(lid_full),
+                        self.lookup_depth, self.lookup_angles,
+                    ),
+                    dtype=float,
+                )
+        return angles
+
+    def _fused_run(self, prep, topk: int, with_conf: bool):
+        """jit (prep -> recipe) into one program for the fused fast lanes."""
+        from .engine import _stage_key
+
+        recipe = self.engine._recipe_fn(
+            _stage_key(self.stages),
+            topk,
+            self.search_mode == "fast",
+            False,
+            self.history_length,
+            with_conf=with_conf,
+        )
+        w2c = self.engine._w2c
+        cam_vec = jnp.asarray(self.camera_pose, jnp.float32)
+
+        @jax.jit
+        def run1(a_full, b_full, lookup_depth, lookup_angles):
+            bundle, crop = prep(a_full, b_full)
+            return recipe(
+                w2c, cam_vec, bundle, crop, lookup_depth, lookup_angles
+            )
+
+        return run1
 
     def _real_prep_core(self):
         """Device-resident neural target preparation (unjitted core).
@@ -312,7 +353,6 @@ class Predictor:
         scale = min(mh / h, mw / w)
         nh, nw = int(round(h * scale)), int(round(w * scale))
         crop = [int(x) for x in self.crops[LN]]
-        S2 = cfg.mask_roi_size * 2
         mean = np.asarray(IMAGENET_MEAN)
         std = np.asarray(IMAGENET_STD)
         lookup_links = set(self.u_reader.mesh_names[:LN])
@@ -321,7 +361,7 @@ class Predictor:
         )
 
         def prep(color_full, depth_full):
-            from jax.scipy.ndimage import map_coordinates
+            from ..ops.image import paste_box_masks
 
             color = ds(color_full.astype(jnp.float32), f)
             depth = ds(depth_full, f).astype(jnp.float32)
@@ -331,28 +371,8 @@ class Predictor:
             out = model.apply(variables, canvas)
             boxes = out["boxes"] / scale  # model frame -> working res
 
-            yy = jnp.arange(h, dtype=jnp.float32)[:, None]
-            xx = jnp.arange(w, dtype=jnp.float32)[None, :]
-
-            def paste(mask2s, box, valid):
-                y1, x1, y2, x2 = box[0], box[1], box[2], box[3]
-                bh = jnp.maximum(y2 - y1, 1e-6)
-                bw = jnp.maximum(x2 - x1, 1e-6)
-                sy = (yy - y1 + 0.5) * (S2 / bh) - 0.5
-                sx = (xx - x1 + 0.5) * (S2 / bw) - 0.5
-                val = map_coordinates(
-                    mask2s.astype(jnp.float32),
-                    [jnp.broadcast_to(sy, (h, w)), jnp.broadcast_to(sx, (h, w))],
-                    order=1, mode="nearest",
-                )
-                inside = (
-                    (yy >= jnp.floor(y1)) & (yy < jnp.ceil(y2))
-                    & (xx >= jnp.floor(x1)) & (xx < jnp.ceil(x2))
-                )
-                return inside & valid & (val > 0.5)
-
-            masks_all = jax.vmap(paste)(
-                out["masks"], boxes, out["valid"]
+            masks_all = paste_box_masks(
+                out["masks"], boxes, out["valid"], h, w
             )  # [K, h, w]
             cls = out["classes"]
 
@@ -393,37 +413,41 @@ class Predictor:
                     jnp.asarray(target_color), jnp.asarray(target_depth)
                 )
             return self._run_stages()
-        key = (self.search_mode, self.lookup_topk, tuple(self.camera_pose))
+        key = (
+            self.search_mode, self.lookup_topk, self.adaptive_escape,
+            tuple(self.camera_pose),
+        )
         if getattr(self, "_real_run_key", None) != key:
-            from .engine import _stage_key
-
             self._setStages()
-            prep = self._real_prep_core()
-            recipe = self.engine._recipe_fn(
-                _stage_key(self.stages),
-                self.lookup_topk,
-                self.search_mode == "fast",
-                False,
-                self.history_length,
+            self._real_prep_fn = self._real_prep_core()
+            self._real_run = self._fused_run(
+                self._real_prep_fn, self.lookup_topk, self.adaptive_escape
             )
-            w2c = self.engine._w2c
-            cam_vec = jnp.asarray(self.camera_pose, jnp.float32)
-
-            @jax.jit
-            def run1(color_full, depth_full, lookup_depth, lookup_angles):
-                bundle, crop = prep(color_full, depth_full)
-                return recipe(
-                    w2c, cam_vec, bundle, crop, lookup_depth, lookup_angles
-                )
-
-            self._real_run = run1
+            self._real_escape_run = None
             self._real_run_key = key
         with self.timer.stage("real_fused"):
             out = self._real_run(
                 jnp.asarray(target_color), jnp.asarray(target_depth),
                 self.lookup_depth, self.lookup_angles,
             )
-        return np.asarray(out, dtype=float)
+        out = np.asarray(out, dtype=float)
+        if not self.adaptive_escape:
+            return out
+        angles, conf = out[:6], out[6]
+        if conf > ESCAPE_CONF_THRESH:
+            with self.timer.stage("basin_escape"):
+                if self._real_escape_run is None:
+                    self._real_escape_run = self._fused_run(
+                        self._real_prep_fn, ESCAPE_TOPK, False
+                    )
+                angles = np.asarray(
+                    self._real_escape_run(
+                        jnp.asarray(target_color), jnp.asarray(target_depth),
+                        self.lookup_depth, self.lookup_angles,
+                    ),
+                    dtype=float,
+                )
+        return angles
 
     # ------------------------------------------------------------ batched
     def run_batch(self, target_colors, target_depths, camera_pose=None) -> np.ndarray:
@@ -594,6 +618,7 @@ class Predictor:
         self._setStages()
         if self.preview:
             return self._run_stages_stepwise(batch)
+        jacobi = self.search_mode == "fast"
         with self.timer.stage("stages_fused"):
             angles = self.engine.run_recipe(
                 self.stages,
@@ -602,11 +627,40 @@ class Predictor:
                 self.lookup_depth,
                 self.lookup_angles,
                 topk=self.lookup_topk if batch is None else 1,
-                jacobi=self.search_mode == "fast",
+                jacobi=jacobi,
                 batched=batch is not None,
                 history_length=self.history_length,
+                with_conf=self.adaptive_escape,
             )
-        return np.asarray(angles, dtype=float)
+        out = np.asarray(angles, dtype=float)
+        if not self.adaptive_escape:
+            return out
+        out, conf = out[..., :6], out[..., 6]
+        with self.timer.stage("basin_escape"):
+            if batch is None:
+                if conf > ESCAPE_CONF_THRESH:
+                    out = np.asarray(
+                        self.engine.run_recipe(
+                            self.stages, self._target, self._tgt_lookup_crop,
+                            self.lookup_depth, self.lookup_angles,
+                            topk=ESCAPE_TOPK, jacobi=jacobi,
+                            history_length=self.history_length,
+                        ),
+                        dtype=float,
+                    )
+            else:
+                for i in np.nonzero(conf > ESCAPE_CONF_THRESH)[0]:
+                    target_i = jax.tree.map(lambda x: x[i], self._target)
+                    out[i] = np.asarray(
+                        self.engine.run_recipe(
+                            self.stages, target_i, self._tgt_lookup_crop[i],
+                            self.lookup_depth, self.lookup_angles,
+                            topk=ESCAPE_TOPK, jacobi=jacobi,
+                            history_length=self.history_length,
+                        ),
+                        dtype=float,
+                    )
+        return out
 
     def _run_stages_stepwise(self, batch: Optional[int] = None) -> np.ndarray:
         """Per-stage dispatch loop (preview/debug path; also the reference
@@ -651,6 +705,8 @@ class Predictor:
                     )
                 elif isinstance(stage, SFlip):
                     state = self.engine.sflip(state, target, stage)
+                elif isinstance(stage, Polish):
+                    state = self.engine.polish(state, target, stage)
                 elif isinstance(stage, InterpolativeSweep):
                     for j in np.where(stage.joints)[0]:
                         state = self.engine.isweep(state, target, stage, int(j))

@@ -84,6 +84,29 @@ class Descent(BaseStage):
         )
 
 
+class Polish(BaseStage):
+    """Fine batched pattern search below the descent's min-step floor.
+
+    Beyond the reference: the reference's coordinate descent bottoms out at
+    ``min_ang_inc`` (0.005 rad ~= 0.29 deg, predict.py:184-187), which puts
+    a floor under the achievable median error.  Polish evaluates ALL
+    ``3^k`` combinations of {-r, 0, +r} over the active joints at a ladder
+    of shrinking radii — one batched eval per radius — and keeps the
+    argmin.  Diagonal moves + sub-min_inc radii cut the median error well
+    below the descent floor for ~2 extra device evals.
+    """
+
+    def __init__(
+        self,
+        to_render: int,
+        joints: Union[str, np.ndarray] = "SLU",
+        radii=(0.003, 0.0012, 0.0005),
+    ):
+        super().__init__(to_render)
+        self.joints = str_to_arr(joints) if isinstance(joints, str) else joints
+        self.radii = tuple(float(r) for r in radii)
+
+
 # Class aliases (reference stages.py:121-124)
 IntSweep = InterpolativeSweep
 ISweep = InterpolativeSweep
@@ -114,24 +137,27 @@ def getStages(angles: str) -> Optional[List]:
         u_stages = [u_sweep_wide, s_flip_4, s_flip_6, u_sweep_narrow]
 
         full_tune = Descent(6, 40, "SLU", early_stop_thresh=0.0075)
-        return [lookup, *sl_init, *u_stages, full_tune]
+        return [lookup, *sl_init, *u_stages, full_tune, Polish(6, "SLU")]
 
     # SLUB / SLURB: full-DoF recipes (beyond the reference, which leaves
     # these undefined — stages.py:170-176).  Extend the SLU recipe with
     # B (and R) refinement sweeps + a full descent.
     if angles == "SLUB":
-        base = getStages("SLU")[:-1]
+        base = getStages("SLU")[:-2]
         b_sweep_wide = InterpolativeSweep(6, 25, "B")
         b_sweep_narrow = InterpolativeSweep(6, 10, "B", 0.1)
         full_tune = Descent(6, 40, "SLUB", early_stop_thresh=0.0075)
-        return [*base, b_sweep_wide, b_sweep_narrow, full_tune]
+        return [*base, b_sweep_wide, b_sweep_narrow, full_tune, Polish(6, "SLUB")]
 
     if angles == "SLURB":
-        base = getStages("SLU")[:-1]
+        base = getStages("SLU")[:-2]
         b_sweep_wide = InterpolativeSweep(6, 25, "B")
         r_sweep = InterpolativeSweep(6, 25, "R")
         b_sweep_narrow = InterpolativeSweep(6, 10, "B", 0.1)
         full_tune = Descent(6, 50, "SLURB", early_stop_thresh=0.0075)
-        return [*base, b_sweep_wide, r_sweep, b_sweep_narrow, full_tune]
+        return [
+            *base, b_sweep_wide, r_sweep, b_sweep_narrow, full_tune,
+            Polish(6, "SLURB"),
+        ]
 
     return None

@@ -150,14 +150,16 @@ def test_search_state_persistence(synth):
 
 
 def test_predictor_full_angle_sets(synth):
-    from ropes3d_tpu.prediction.stages import getStages, Descent
+    from ropes3d_tpu.prediction.stages import getStages, Descent, Polish
 
     for angs in ("SL", "SLU", "SLUB", "SLURB"):
         stages = getStages(angs)
         assert stages is not None and len(stages) > 1
     assert getStages("XYZ") is None
     full = getStages("SLURB")
-    assert isinstance(full[-1], Descent)
+    assert isinstance(full[-1], Polish)
+    assert isinstance(full[-2], Descent)
+    assert all(full[-1].joints[:5])
 
 
 def test_fused_recipe_matches_stepwise(synth):
