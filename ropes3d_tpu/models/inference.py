@@ -22,6 +22,19 @@ from .mask_rcnn import MaskRCNN, MaskRCNNConfig
 IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
+# RGB-D models (cfg.in_channels == 4): depth-channel normalisation.  Valid
+# depths map to ~[-1.6, 4.7] around the working envelope; holes (0) map to
+# a sentinel far outside it so the network can learn hole semantics.
+DEPTH_MEAN = 1.5
+DEPTH_STD = 0.75
+DEPTH_HOLE = -4.0
+
+
+def normalize_depth(depth: jnp.ndarray) -> jnp.ndarray:
+    """Metres -> normalised depth channel; 0/invalid -> DEPTH_HOLE."""
+    d = jnp.clip(depth, 0.0, 5.0)
+    return jnp.where(d > 0, (d - DEPTH_MEAN) / DEPTH_STD, DEPTH_HOLE)
+
 
 class Segmenter:
     """Loads a trained checkpoint and segments frames into per-link masks."""
@@ -67,8 +80,17 @@ class Segmenter:
         }
         self._forward = jax.jit(lambda img: self.model.apply(self.variables, img))
 
-    def preprocess(self, image: np.ndarray) -> Tuple[jnp.ndarray, float, Tuple[int, int]]:
-        """Letterbox-resize to the model input and normalise."""
+    def preprocess(
+        self, image: np.ndarray, depth: Optional[np.ndarray] = None
+    ) -> Tuple[jnp.ndarray, float, Tuple[int, int]]:
+        """Letterbox-resize to the model input and normalise.
+
+        RGB-D models (``cfg.in_channels == 4``) take the registered depth
+        map (metres, 0 = hole) as a 4th channel — resized nearest-neighbour
+        so hole boundaries stay crisp, normalised by :func:`normalize_depth`.
+        A missing depth map degrades to an all-hole channel (the training
+        pipeline drops the whole channel at random so this stays
+        in-distribution)."""
         h, w = image.shape[:2]
         mh, mw = self.cfg.image_hw
         scale = min(mh / h, mw / w)
@@ -76,19 +98,37 @@ class Segmenter:
         img = jax.image.resize(
             jnp.asarray(image, jnp.float32), (nh, nw, 3), method="linear"
         )
-        canvas = jnp.zeros((mh, mw, 3), jnp.float32)
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        if self.cfg.in_channels == 4:
+            if depth is None:
+                dch = jnp.full((nh, nw, 1), DEPTH_HOLE, jnp.float32)
+            else:
+                dr = jax.image.resize(
+                    jnp.asarray(depth, jnp.float32), (nh, nw), method="nearest"
+                )
+                dch = normalize_depth(dr)[..., None]
+            img = jnp.concatenate([img, dch], axis=-1)
+        # Padding stays normalised BLACK (pre-normalisation zero), matching
+        # the RGB-only models that normalised after letterboxing.
+        pad = [float(v) for v in -IMAGENET_MEAN / IMAGENET_STD]
+        if self.cfg.in_channels == 4:
+            pad.append(DEPTH_HOLE)
+        canvas = jnp.broadcast_to(
+            jnp.asarray(pad, jnp.float32), (mh, mw, self.cfg.in_channels)
+        )
         canvas = canvas.at[:nh, :nw].set(img)
-        canvas = (canvas - IMAGENET_MEAN) / IMAGENET_STD
         return canvas, scale, (h, w)
 
-    def segment(self, image: np.ndarray) -> Tuple[Dict, np.ndarray]:
+    def segment(
+        self, image: np.ndarray, depth: Optional[np.ndarray] = None
+    ) -> Tuple[Dict, np.ndarray]:
         """Run detection: returns (per-link dict, visualisation image).
 
         The dict maps link name -> {'confidence', 'mask' [H, W] bool},
         merging multiple instances per class exactly as the reference's
         ``_reorganize_by_link`` does (predict.py:383-395).
         """
-        canvas, scale, (h, w) = self.preprocess(image)
+        canvas, scale, (h, w) = self.preprocess(image, depth)
         out = jax.device_get(self._forward(canvas))
         boxes = out["boxes"] / scale
         per_link: Dict[str, dict] = {}

@@ -51,6 +51,14 @@ class MaskRCNNConfig:
     fpn_features: int = 256
     score_thresh: float = 0.7
     nms_thresh: float = 0.3
+    # Input channels: 3 = RGB (reference parity), 4 = RGB-D.  The pipeline
+    # is RGB-D end to end (every capture carries registered depth), so the
+    # TPU-native segmenter can consume the depth channel directly — clutter
+    # that defeats color segmentation is trivially separable in depth.
+    # This replaces the transfer-learning advantage of the reference's
+    # COCO-pretrained backbone (training/__init__.py:10-15), which cannot
+    # be bundled offline.
+    in_channels: int = 3
 
     @classmethod
     def tiny(cls, **overrides) -> "MaskRCNNConfig":

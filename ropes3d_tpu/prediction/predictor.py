@@ -44,6 +44,18 @@ from .stages import (
 HISTORY_LENGTH = 5
 
 
+class PendingFrame:
+    """An in-flight fused-lane frame (``run_synthetic``/``run_real`` with
+    ``block=False``): the device program is dispatched, the host read-back
+    deferred.  Pass to :meth:`Predictor.finish`; the kept input references
+    let adaptive escape re-run the frame without re-uploading."""
+
+    __slots__ = ("out", "escape", "args")
+
+    def __init__(self, out, escape, args):
+        self.out, self.escape, self.args = out, escape, args
+
+
 class Predictor:
     def __init__(
         self,
@@ -244,14 +256,21 @@ class Predictor:
 
         return prep
 
-    def run_synthetic(self, depth_full, lid_full) -> np.ndarray:
+    def run_synthetic(self, depth_full, lid_full, block: bool = True):
         """Device-to-device fast path: full-res (depth, link-id) render maps
         in, joint angles out.
 
         Target preparation AND the whole stage recipe compile into ONE
         program, so a frame costs a single dispatch plus the 6-float
         read-back (the read-back round trip dominates on remote-attached
-        chips)."""
+        chips).
+
+        ``block=False`` returns a :class:`PendingFrame` instead of angles:
+        the program is dispatched but the host read-back is deferred to
+        :meth:`finish`.  In a depth-2 pipeline (dispatch frame *i*, then
+        finish frame *i-1*) the ~30 ms tunnel read-back of one frame
+        overlaps the next frame's device compute, so steady-state per-frame
+        latency is max(device, transport) instead of their sum."""
         if self._lookup_mesh is not None or self.preview:
             # Sharded lookup stack: the recipe must split into a
             # collective-bearing lookup dispatch + a seeded search program
@@ -278,28 +297,33 @@ class Predictor:
             )
             self._synth_escape_run = None
             self._synth_run_key = key
+        a, b = jnp.asarray(depth_full), jnp.asarray(lid_full)
         with self.timer.stage("synthetic_fused"):
-            out = self._synth_run(
-                jnp.asarray(depth_full), jnp.asarray(lid_full),
-                self.lookup_depth, self.lookup_angles,
+            out = self._synth_run(a, b, self.lookup_depth, self.lookup_angles)
+        pending = PendingFrame(out, self._synth_escape, (a, b))
+        return pending if not block else self.finish(pending)
+
+    def _synth_escape(self, a, b) -> np.ndarray:
+        if self._synth_escape_run is None:
+            self._synth_escape_run = self._fused_run(
+                self._synth_prep_fn, ESCAPE_TOPK, False
             )
-        out = np.asarray(out, dtype=float)
-        if not self.adaptive_escape:
+        return np.asarray(
+            self._synth_escape_run(a, b, self.lookup_depth, self.lookup_angles),
+            dtype=float,
+        )
+
+    def finish(self, pending: "PendingFrame") -> np.ndarray:
+        """Complete a ``block=False`` dispatch: read back the (tiny) result
+        and, under adaptive escape, re-run ambiguous frames with top-k
+        hypothesis seeds (config.ESCAPE_*)."""
+        out = np.asarray(pending.out, dtype=float)
+        if not self.adaptive_escape or out.shape[-1] == 6:
             return out
         angles, conf = out[:6], out[6]
         if conf > ESCAPE_CONF_THRESH:
             with self.timer.stage("basin_escape"):
-                if self._synth_escape_run is None:
-                    self._synth_escape_run = self._fused_run(
-                        self._synth_prep_fn, ESCAPE_TOPK, False
-                    )
-                angles = np.asarray(
-                    self._synth_escape_run(
-                        jnp.asarray(depth_full), jnp.asarray(lid_full),
-                        self.lookup_depth, self.lookup_angles,
-                    ),
-                    dtype=float,
-                )
+                angles = pending.escape(*pending.args)
         return angles
 
     def _fused_run(self, prep, topk: int, with_conf: bool):
@@ -366,8 +390,21 @@ class Predictor:
             color = ds(color_full.astype(jnp.float32), f)
             depth = ds(depth_full, f).astype(jnp.float32)
             img = jax.image.resize(color, (nh, nw, 3), method="linear")
-            canvas = jnp.zeros((mh, mw, 3), jnp.float32).at[:nh, :nw].set(img)
-            canvas = (canvas - jnp.asarray(mean)) / jnp.asarray(std)
+            img = (img - jnp.asarray(mean)) / jnp.asarray(std)
+            if cfg.in_channels == 4:
+                from ..models.inference import DEPTH_HOLE, normalize_depth
+
+                dr = jax.image.resize(depth, (nh, nw), method="nearest")
+                img = jnp.concatenate(
+                    [img, normalize_depth(dr)[..., None]], axis=-1
+                )
+                pad = jnp.asarray(
+                    [float(v) for v in -mean / std] + [DEPTH_HOLE], jnp.float32
+                )
+            else:
+                pad = jnp.asarray([float(v) for v in -mean / std], jnp.float32)
+            canvas = jnp.broadcast_to(pad, (mh, mw, cfg.in_channels))
+            canvas = canvas.at[:nh, :nw].set(img)
             out = model.apply(variables, canvas)
             boxes = out["boxes"] / scale  # model frame -> working res
 
@@ -399,10 +436,11 @@ class Predictor:
 
         return prep
 
-    def run_real(self, target_color, target_depth) -> np.ndarray:
+    def run_real(self, target_color, target_depth, block: bool = True):
         """Fused neural-path fast lane: full-res (color, depth) in, angles
         out — segmentation, target prep and the whole stage recipe as one
-        device program (mirrors :meth:`run_synthetic`)."""
+        device program (mirrors :meth:`run_synthetic`, including the
+        ``block=False`` pipelined handle)."""
         if self._lookup_mesh is not None or self.preview:
             # Preview routes through _run_stages' stepwise loop (see
             # run_synthetic).
@@ -425,29 +463,21 @@ class Predictor:
             )
             self._real_escape_run = None
             self._real_run_key = key
+        a, b = jnp.asarray(target_color), jnp.asarray(target_depth)
         with self.timer.stage("real_fused"):
-            out = self._real_run(
-                jnp.asarray(target_color), jnp.asarray(target_depth),
-                self.lookup_depth, self.lookup_angles,
+            out = self._real_run(a, b, self.lookup_depth, self.lookup_angles)
+        pending = PendingFrame(out, self._real_escape, (a, b))
+        return pending if not block else self.finish(pending)
+
+    def _real_escape(self, a, b) -> np.ndarray:
+        if self._real_escape_run is None:
+            self._real_escape_run = self._fused_run(
+                self._real_prep_fn, ESCAPE_TOPK, False
             )
-        out = np.asarray(out, dtype=float)
-        if not self.adaptive_escape:
-            return out
-        angles, conf = out[:6], out[6]
-        if conf > ESCAPE_CONF_THRESH:
-            with self.timer.stage("basin_escape"):
-                if self._real_escape_run is None:
-                    self._real_escape_run = self._fused_run(
-                        self._real_prep_fn, ESCAPE_TOPK, False
-                    )
-                angles = np.asarray(
-                    self._real_escape_run(
-                        jnp.asarray(target_color), jnp.asarray(target_depth),
-                        self.lookup_depth, self.lookup_angles,
-                    ),
-                    dtype=float,
-                )
-        return angles
+        return np.asarray(
+            self._real_escape_run(a, b, self.lookup_depth, self.lookup_angles),
+            dtype=float,
+        )
 
     # ------------------------------------------------------------ batched
     def run_batch(self, target_colors, target_depths, camera_pose=None) -> np.ndarray:
@@ -546,7 +576,9 @@ class Predictor:
     def _segmentLoad(self, target_color, target_depth):
         """Mask R-CNN segmentation -> per-link masks (predict.py:415-442)."""
         color_ds = self._downsample(target_color, self.ds_factor).astype(np.uint8)
-        seg_data, output = self.seg.segment(color_ds)
+        # RGB-D models consume the registered depth as a 4th channel.
+        dep = target_depth if self.seg.cfg.in_channels == 4 else None
+        seg_data, output = self.seg.segment(color_ds, dep)
 
         # Robot-body isolation: union of masks, dilate(8)/erode(7).
         union = np.zeros(target_depth.shape, bool)

@@ -180,6 +180,7 @@ def bootstrap_base_model_device(
         json.dump(
             {
                 "num_classes": cfg.num_classes,
+                "in_channels": cfg.in_channels,
                 "depth": cfg.depth,
                 "image_hw": list(cfg.image_hw),
                 "max_gt": cfg.max_gt,
@@ -245,11 +246,22 @@ def eval_segmenter_iou(
     for i in range(0, n, 4):
         key, sub = jax.random.split(key)
         b = pipeline.batch(sub, 4)
-        imgs = np.asarray(b["images"]) * IMAGENET_STD + IMAGENET_MEAN
+        raw = np.asarray(b["images"])
+        imgs = raw[..., :3] * IMAGENET_STD + IMAGENET_MEAN
+        deps = None
+        if seg.cfg.in_channels == 4:
+            # Invert normalize_depth: holes (sentinel) back to 0 m.
+            from ..models.inference import DEPTH_MEAN, DEPTH_STD
+
+            dch = raw[..., 3]
+            deps = np.where(dch < -3.0, 0.0, dch * DEPTH_STD + DEPTH_MEAN)
         for j in range(4):
             gt_masks = np.asarray(b["masks"][j]) > 0.5
             gt_cls = np.asarray(b["classes"][j])
-            per_link, _ = seg.segment(np.clip(imgs[j], 0, 255).astype(np.uint8))
+            per_link, _ = seg.segment(
+                np.clip(imgs[j], 0, 255).astype(np.uint8),
+                None if deps is None else deps[j],
+            )
             for g in range(len(gt_cls)):
                 if gt_cls[g] == 0:
                     continue
@@ -306,6 +318,7 @@ def bootstrap_base_model(
         json.dump(
             {
                 "num_classes": cfg.num_classes,
+                "in_channels": cfg.in_channels,
                 "depth": cfg.depth,
                 "image_hw": list(cfg.image_hw),
                 "max_gt": cfg.max_gt,

@@ -65,7 +65,13 @@ class DetectionDataset:
         max_gt: int,
         augment=None,
         seed: int = 0,
+        in_channels: int = 3,
     ):
+        # in_channels == 4 (RGB-D base models): labelme annotations carry
+        # no depth, so the 4th channel is filled with the hole sentinel —
+        # in-distribution because DeviceSynthPipeline drops the whole depth
+        # channel at random during pretraining (synth_data.py drop_all).
+        self.in_channels = in_channels
         self.files = sorted(
             os.path.join(anno_dir, f)
             for f in os.listdir(anno_dir)
@@ -96,6 +102,12 @@ class DetectionDataset:
         canvas = np.zeros((mh, mw, 3), np.float32)
         canvas[:nh, :nw] = img_r
         canvas = (canvas - IMAGENET_MEAN) / IMAGENET_STD
+        if self.in_channels == 4:
+            from ..models.inference import DEPTH_HOLE
+
+            canvas = np.concatenate(
+                [canvas, np.full((mh, mw, 1), DEPTH_HOLE, np.float32)], -1
+            )
 
         G = self.max_gt
         out_boxes = np.zeros((G, 4), np.float32)

@@ -92,7 +92,8 @@ class DeviceSynthPipeline:
 
     # ------------------------------------------------------------ internals
     def _render_one(self, angles, cam_pose6):
-        """Shaded render of one pose: -> (lid [rh,rw] i32, shade [rh,rw] u8)."""
+        """Shaded render of one pose:
+        -> (lid [rh,rw] i32, shade [rh,rw] u8, depth [rh,rw] f32)."""
         from ..prediction.camera_pose import w2c_from_pose_jnp
 
         w2c = w2c_from_pose_jnp(cam_pose6)
@@ -101,22 +102,33 @@ class DeviceSynthPipeline:
         fx, fy, cx, cy = self._intrin
         coeffs, qrange, _, _ = triangle_setup(cam_verts, self._valid, fx, fy, cx, cy)
         shade = triangle_shade(cam_verts)
-        _, lid, shade_map = rasterize_shaded(
+        depth, lid, shade_map = rasterize_shaded(
             coeffs, qrange, self._ids.astype(jnp.int32), shade, self.rh, self.rw
         )
-        return lid, shade_map
+        # Misses rasterize to depth 0; z-buffer compositing wants +inf.
+        depth = jnp.where(lid >= 0, depth, jnp.inf)
+        return lid, shade_map, depth
 
     def _compose_one(self, key, angles, cam_pose6):
-        """Render + composite one domain-randomized sample."""
+        """Render + z-buffer composite one domain-randomized RGB(-D) sample.
+
+        Every element carries a depth: the background is a far plane,
+        distractors sit at random distances (some CLOSER than the robot —
+        real occluders, excluded from the GT masks), and the robot at its
+        rendered depth.  Compositing is a straight z-buffer, so the depth
+        channel an RGB-D model sees is geometrically consistent with the
+        color — no 'nearest thing is the robot' shortcut survives
+        training."""
         cfg = self.cfg
         mh, mw = cfg.image_hw
-        lid, shade = self._render_one(angles, cam_pose6)
-        ks = jax.random.split(key, 12)
+        lid, shade, rdepth = self._render_one(angles, cam_pose6)
+        ks = jax.random.split(key, 16)
 
         rows = jnp.arange(self.rh, dtype=jnp.float32)[:, None, None]
         cols = jnp.arange(self.rw, dtype=jnp.float32)[None, :, None]
 
-        # --- background: solid color + 2-D gradient + speckle noise
+        # --- background: solid color + 2-D gradient + speckle noise, on a
+        # sloped far plane (2.5-5 m) in depth.
         bg = jax.random.uniform(ks[0], (3,), minval=0.0, maxval=255.0)
         gx = jax.random.uniform(ks[1], (), minval=-80.0, maxval=80.0)
         gy = jax.random.uniform(ks[2], (), minval=-80.0, maxval=80.0)
@@ -126,17 +138,26 @@ class DeviceSynthPipeline:
             + rows / self.rh * gy
             + jax.random.normal(ks[3], (self.rh, self.rw, 3)) * 25.0
         )
+        bgz = jax.random.uniform(ks[10], (), minval=2.5, maxval=5.0)
+        bgs = jax.random.uniform(ks[11], (2,), minval=-0.8, maxval=0.8)
+        zbuf = (
+            bgz
+            + cols[..., 0] / self.rw * bgs[0]
+            + rows[..., 0] / self.rh * bgs[1]
+        )
 
-        # --- distractor shapes (rectangles + ellipses), random color/size
+        # --- distractor shapes (rectangles + ellipses) at random depths
+        # 0.7-4.5 m; z-buffered, so near ones occlude the robot later.
         dk = jax.random.split(ks[4], self.num_distractors)
         for i in range(self.num_distractors):
-            kk = jax.random.split(dk[i], 6)
+            kk = jax.random.split(dk[i], 7)
             cy_ = jax.random.uniform(kk[0], (), minval=0.0, maxval=self.rh)
             cx_ = jax.random.uniform(kk[1], (), minval=0.0, maxval=self.rw)
             hh = jax.random.uniform(kk[2], (), minval=8.0, maxval=self.rh / 3)
             ww = jax.random.uniform(kk[3], (), minval=8.0, maxval=self.rw / 3)
             col = jax.random.uniform(kk[4], (3,), minval=0.0, maxval=255.0)
             is_ellipse = jax.random.bernoulli(kk[5])
+            z = jax.random.uniform(kk[6], (), minval=0.7, maxval=4.5)
             dy = (rows[..., 0] - cy_) / hh
             dx = (cols[..., 0] - cx_) / ww
             inside = jnp.where(
@@ -144,16 +165,20 @@ class DeviceSynthPipeline:
                 dy * dy + dx * dx <= 1.0,
                 (jnp.abs(dy) <= 1.0) & (jnp.abs(dx) <= 1.0),
             )
-            img = jnp.where(inside[..., None], col[None, None], img)
+            closer = inside & (z < zbuf)
+            img = jnp.where(closer[..., None], col[None, None], img)
+            zbuf = jnp.where(closer, z, zbuf)
 
-        # --- robot: shaded grayscale x random per-link tint
+        # --- robot: shaded grayscale x random per-link tint, z-buffered
+        # against the scene (a nearer distractor occludes it).
         tint = jax.random.uniform(
             ks[5], (self.num_links, 3), minval=60.0, maxval=255.0
         )
         shade_f = 0.25 + 0.75 * shade.astype(jnp.float32) / 255.0
         robot_rgb = tint[jnp.clip(lid, 0, self.num_links - 1)] * shade_f[..., None]
-        hit = (lid >= 0)[..., None]
-        img = jnp.where(hit, robot_rgb, img)
+        visible = (lid >= 0) & (rdepth < zbuf)
+        img = jnp.where(visible[..., None], robot_rgb, img)
+        zbuf = jnp.where(visible, rdepth, zbuf)
 
         # --- photometric jitter + sensor noise (+ occasional soft blur)
         bright = jax.random.uniform(ks[6], (), minval=-30.0, maxval=30.0)
@@ -168,11 +193,41 @@ class DeviceSynthPipeline:
         ) / 5.0
         img = jnp.where(blur, soft, img)
         img = jnp.clip(img, 0.0, 255.0)
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
 
-        # --- letterbox into the model frame (top-left, like preprocess)
-        canvas = jnp.zeros((mh, mw, 3), jnp.float32)
+        if cfg.in_channels == 4:
+            # --- depth-channel sensor model: distance-growing noise,
+            # speckle holes, extra holes at depth discontinuities
+            # (stereo/ToF failure mode), 1 mm quantisation — and the whole
+            # channel dropped outright sometimes so the color pathway
+            # stays load-bearing (graceful RGB-only degradation).
+            from ..models.inference import normalize_depth
+
+            d = jnp.where(jnp.isfinite(zbuf), zbuf, 0.0)
+            d = d + jax.random.normal(ks[12], d.shape) * (0.004 * d * d)
+            gy_ = jnp.abs(jnp.diff(d, axis=0, prepend=d[:1]))
+            gx_ = jnp.abs(jnp.diff(d, axis=1, prepend=d[:, :1]))
+            edge = (gy_ + gx_) > 0.08
+            speckle = jax.random.uniform(ks[13], d.shape) < 0.03
+            edge_drop = edge & (jax.random.uniform(ks[14], d.shape) < 0.5)
+            d = jnp.where(speckle | edge_drop, 0.0, d)
+            d = jnp.round(d * 1000.0) / 1000.0
+            drop_all = jax.random.bernoulli(ks[15], 0.08)
+            d = jnp.where(drop_all, 0.0, d)
+            img = jnp.concatenate([img, normalize_depth(d)[..., None]], -1)
+
+        # --- letterbox into the model frame (top-left, like preprocess):
+        # padding is normalised BLACK (+ hole depth), matching
+        # Segmenter.preprocess and the pre-RGB-D bootv2 training runs.
+        pad = [float(v) for v in -IMAGENET_MEAN / IMAGENET_STD]
+        if cfg.in_channels == 4:
+            from ..models.inference import DEPTH_HOLE
+
+            pad.append(DEPTH_HOLE)
+        canvas = jnp.broadcast_to(
+            jnp.asarray(pad, jnp.float32), (mh, mw, cfg.in_channels)
+        )
         canvas = canvas.at[: self.rh, : self.rw].set(img)
-        canvas = (canvas - IMAGENET_MEAN) / IMAGENET_STD
 
         # --- targets: per-link masks, boxes, classes (first 6 links)
         G = cfg.max_gt
@@ -180,7 +235,11 @@ class DeviceSynthPipeline:
         boxes = jnp.zeros((G, 4), jnp.float32)
         classes = jnp.zeros((G,), jnp.int32)
         for li in range(min(6, self.num_links)):
-            m = (lid == li).astype(jnp.float32)
+            # Modal (visible-only) masks: pixels occluded by a nearer
+            # distractor are NOT robot GT — the downstream error function
+            # multiplies masks into observed depth, so a mask bleeding onto
+            # an occluder would inject the occluder's depth as robot depth.
+            m = ((lid == li) & visible).astype(jnp.float32)
             mm = jnp.zeros((mh, mw), jnp.float32).at[: self.rh, : self.rw].set(m)
             area = mm.sum()
             rows_any = mm.sum(axis=1) > 0

@@ -88,7 +88,8 @@ def train(
             num_classes=len(classes), depth=depth, image_hw=tuple(image_hw)
         )
     data = DetectionDataset(
-        anno_dir, classes, cfg.image_hw, cfg.max_gt, augment=Augmenter()
+        anno_dir, classes, cfg.image_hw, cfg.max_gt, augment=Augmenter(),
+        in_channels=cfg.in_channels,
     )
 
     model_dir = mm.allocateNew(
@@ -98,6 +99,7 @@ def train(
         json.dump(
             {
                 "num_classes": cfg.num_classes,
+                "in_channels": cfg.in_channels,
                 "depth": cfg.depth,
                 "image_hw": list(cfg.image_hw),
                 "max_gt": cfg.max_gt,

@@ -34,7 +34,7 @@ def create_train_state(
     model: MaskRCNN, rng: jax.Array, tx: optax.GradientTransformation
 ) -> TrainState:
     h, w = model.cfg.image_hw
-    variables = model.init(rng, jnp.zeros((h, w, 3)))
+    variables = model.init(rng, jnp.zeros((h, w, model.cfg.in_channels)))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
