@@ -59,6 +59,15 @@ LOOKUP_NUM_RENDERED = 6
 ESCAPE_CONF_THRESH = 0.5
 ESCAPE_TOPK = 4
 
+# Fine-polish pass: after the staged recipe, a pattern search evaluated at
+# FINE_POLISH_SCALE x the working resolution (target prepared at the same
+# scale inside the fused program).  The working-res error landscape
+# plateaus at ~1 px of joint subtense; 2x evaluation halves that floor for
+# ~FINE_POLISH_RADII batched evals.  Disabled automatically when the
+# scaled frame no longer fits the fused kernel's VMEM bound.
+FINE_POLISH_SCALE = 2
+FINE_POLISH_RADII = (0.004, 0.0016)
+
 # ---------------------------------------------------------------- Seg models
 MODELDATA_FILE_NAME = "ModelData.json"
 NUM_MODELS_TO_KEEP = 3

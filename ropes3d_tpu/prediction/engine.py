@@ -161,14 +161,20 @@ class CandidateEvaluator:
         n = int(np.searchsorted(self._np_link_ids, L))
         return self._verts[:n], self._link_ids[:n], self._valid[:n]
 
-    def _render_fn(self, to_render: int):
+    def _render_fn(self, to_render: int, scale: int = 1):
         verts, ids, valid = self._scene_slice(to_render)
         # NB: numpy (not jnp) constants — these closures are lru-cached and
         # may first be built *inside* a jit trace, where a jnp constant
         # would be a tracer and leak into later traces.
         link_mask = np.ones(min(to_render, self.num_links), bool)
-        intrin = self._intrin_vec
-        h, w = self.h, self.w
+        # ``scale`` > 1 renders at an integer multiple of the working
+        # resolution (exact: Intrinsics.downscale divides f/pp linearly, so
+        # working x2 == base/(ds/2)).  Used by the fine-polish pass.
+        intrin = (
+            self._intrin_vec if scale == 1
+            else np.asarray(self._intrin_tuple, np.float32) * scale
+        )
+        h, w = self.h * scale, self.w * scale
         fk = self._fk
         L = min(to_render, self.num_links)
 
@@ -182,16 +188,20 @@ class CandidateEvaluator:
 
         return render
 
-    def _eval_fn(self, to_render: int):
+    def _eval_fn(self, to_render: int, scale: int = 1):
+        """Batched candidate error at the working resolution (``scale=1``)
+        or an integer multiple of it (fine-polish pass — targets must then
+        be prepared at the same scale)."""
         link_active = (np.arange(6) >= 1) & (np.arange(6) < to_render)
+        sh, sw = self.h * scale, self.w * scale
 
         # The fused raster+error kernel keeps the full padded target maps in
         # VMEM and is sized for working resolutions (padded width <= 512,
         # rasterizer_pallas.py); larger configs (e.g. -ds_factor 2 on
         # 1280-wide intrinsics) fall through to the two-step
         # rasterize + link_error path below.
-        wp = -(-self.w // 128) * 128
-        hp = -(-self.h // 8) * 8
+        wp = -(-sw // 128) * 128
+        hp = -(-sh // 8) * 8
         fused_fits = wp <= 512 and (2 * 6 + 1) * hp * wp * 4 <= 8 * 2**20
 
         if fused_fits and jax.default_backend() not in ("cpu", "gpu"):
@@ -204,10 +214,10 @@ class CandidateEvaluator:
             verts, ids, valid = self._scene_slice(to_render)
             L = min(to_render, self.num_links)
             fk = self._fk
-            h, w = self.h, self.w
+            h, w = sh, sw
             # Host floats, NOT np.asarray(self._intrin_vec): a 4-float
             # device pull can cost minutes on a degraded remote transport.
-            fx, fy, cx, cy = self._intrin_tuple
+            fx, fy, cx, cy = (x * scale for x in self._intrin_tuple)
 
             def eval_batch(angles, w2c, target: TargetBundle):
                 poses = fk(angles)[:, :L]
@@ -227,7 +237,7 @@ class CandidateEvaluator:
 
             return eval_batch
 
-        render = self._render_fn(to_render)
+        render = self._render_fn(to_render, scale)
 
         def eval_batch(angles, w2c, target: TargetBundle):
             depth, lid = render(angles, w2c)
@@ -637,6 +647,39 @@ class CandidateEvaluator:
             return state._replace(angles=angles, history=history2)
 
         return polish
+
+    @functools.lru_cache(maxsize=8)
+    def fine_polish_fn(
+        self, to_render: int, joints: tuple, radii: tuple, scale: int
+    ):
+        """Pattern search evaluated at ``scale``x the working resolution.
+
+        The working-res error landscape plateaus once moves stop changing
+        any rasterized pixel (~1 px subtense, the precision floor behind
+        the ~0.46 deg median at 160x90).  Evaluating the final pattern
+        search at 2x halves that floor for a handful of batched evals —
+        the target must be prepared at the same scale (predictor fine
+        preps).  Plain angles -> angles (composable after any recipe)."""
+        eval_batch = self._eval_fn(to_render, scale)
+        limits = self.joint_limits
+        active = [j for j, b in enumerate(joints) if b]
+        k = len(active)
+        grids = np.meshgrid(*([[-1.0, 0.0, 1.0]] * k), indexing="ij")
+        combos = np.stack([g.ravel() for g in grids], axis=-1)
+        offsets = np.zeros((combos.shape[0], 6), np.float32)
+        offsets[:, active] = combos
+
+        def fine_polish(angles, w2c, target: TargetBundle):
+            off = jnp.asarray(offsets)
+            for r in radii:
+                cands = jnp.clip(
+                    angles[None] + off * r, limits[:, 0], limits[:, 1]
+                )
+                errs = eval_batch(cands, w2c, target)
+                angles = cands[jnp.argmin(errs)]
+            return angles
+
+        return fine_polish
 
     def polish(self, state: SearchState, target: TargetBundle, stage) -> SearchState:
         f = self._stage_jit(

@@ -70,6 +70,7 @@ class Predictor:
         color_dict: Optional[dict] = None,
         search_mode: str = "parity",
         lookup_topk="auto",
+        fine_polish: bool = True,
     ):
         """``search_mode``: 'parity' (default) replays the reference's
         sequential per-joint descent exactly; 'fast' batches each descent
@@ -136,6 +137,25 @@ class Predictor:
             camera_pose, self.intrinsics, min_angle_inc, urdf=self.u_reader
         )
         self.crops = Crop(camera_pose, self.intrinsics)
+
+        # Fine-polish pass (config.FINE_POLISH_*): a final pattern search
+        # evaluated at FINE_POLISH_SCALE x the working resolution, below
+        # the working-res pixel-quantization floor.  Auto-disabled when the
+        # scaled frame exceeds the fused kernel's VMEM sizing or ds_factor
+        # doesn't divide by the scale.
+        from ..config import FINE_POLISH_SCALE
+        from ..utils.common import str_to_arr
+
+        s = int(FINE_POLISH_SCALE)
+        wp = -(-self.intrinsics.width * s // 128) * 128
+        hp = -(-self.intrinsics.height * s // 8) * 8
+        fits = (
+            s > 1 and ds_factor % s == 0
+            and wp <= 512 and (2 * 6 + 1) * hp * wp * 4 <= 8 * 2**20
+        )
+        self.fine_scale = s if (fine_polish and fits) else 0
+        self._fine_joints = tuple(bool(b) for b in str_to_arr(self.do_angles))
+        self._fine_target = None
 
         if preview:
             from .viz import ProjectionViz
@@ -204,9 +224,21 @@ class Predictor:
         )
 
     def _prepare_synthetic_device(self):
+        """Jitted synthetic target prep.  Returns (bundle, crop) — plus the
+        fine-polish target as a third element when fine polish is enabled
+        (callers store it as ``self._fine_target`` for the stage loop)."""
         import jax as _jax
 
-        return _jax.jit(self._synth_prep_core())
+        base = self._synth_prep_core()
+        if not self.fine_scale:
+            return _jax.jit(base)
+        fine = self._synth_prep_fine_core()
+
+        def prep3(a, b):
+            bundle, crop = base(a, b)
+            return bundle, crop, fine(a, b)
+
+        return _jax.jit(prep3)
 
     def _synth_prep_core(self):
         """Build the device-resident synthetic target preparation (unjitted
@@ -256,6 +288,76 @@ class Predictor:
 
         return prep
 
+    # ------------------------------------------------------- fine polish
+    def _synth_prep_fine_core(self):
+        """Synthetic target bundle at FINE_POLISH_SCALE x the working
+        resolution (exact: built from the full-res link-id map with the
+        same color-equality criterion as :meth:`_synth_prep_core`)."""
+        from ..config import DEFAULT_RENDER_COLORS
+        from ..ops.image import downsample as ds
+
+        f = self.ds_factor // self.fine_scale
+        blues = np.asarray(
+            [0.0] + [float(c[0]) for c in DEFAULT_RENDER_COLORS[:6]], np.float32
+        )
+
+        def prep_fine(depth_full, lid_full):
+            blues_j = jnp.asarray(blues)
+            depth = ds(depth_full, f)
+            blue = jnp.round(ds(blues_j[lid_full + 1], f))
+            masks = jax.vmap(lambda i: blue == jnp.round(blues_j[i + 1]))(
+                jnp.arange(6)
+            )
+            return TargetBundle(
+                masks, masks * depth[None], masks.any(axis=(1, 2)),
+                depth.astype(jnp.float32),
+            )
+
+        return prep_fine
+
+    def _fine_polish_core(self):
+        """angles[6] -> angles[6] fine pattern search (engine closure)."""
+        from ..config import FINE_POLISH_RADII
+
+        return self.engine.fine_polish_fn(
+            6, self._fine_joints, tuple(FINE_POLISH_RADII), self.fine_scale
+        )
+
+    def _apply_fine_polish_host(self, out: np.ndarray) -> np.ndarray:
+        """Apply fine polish to stage-loop results (host lanes): one extra
+        device dispatch; ``self._fine_target`` must have been prepared
+        alongside the coarse target.  Handles [6], [7] (conf-tailed) and
+        frame-batched [F, 6/7] shapes."""
+        if not self.fine_scale or self._fine_target is None:
+            return out
+        if not hasattr(self, "_fine_polish_jit"):
+            self._fine_polish_jit = jax.jit(self._fine_polish_core())
+            self._fine_polish_vjit = jax.jit(
+                jax.vmap(self._fine_polish_core(), in_axes=(0, None, 0))
+            )
+        w2c = self.engine._w2c
+        with self.timer.stage("fine_polish"):
+            if out.ndim == 1:
+                ang = np.asarray(
+                    self._fine_polish_jit(
+                        jnp.asarray(out[:6], jnp.float32), w2c,
+                        self._fine_target,
+                    ),
+                    dtype=float,
+                )
+                return np.concatenate([ang, out[6:]]) if out.shape[0] > 6 else ang
+            ang = np.asarray(
+                self._fine_polish_vjit(
+                    jnp.asarray(out[:, :6], jnp.float32), w2c,
+                    self._fine_target,
+                ),
+                dtype=float,
+            )
+            return (
+                np.concatenate([ang, out[:, 6:]], axis=1)
+                if out.shape[1] > 6 else ang
+            )
+
     def run_synthetic(self, depth_full, lid_full, block: bool = True):
         """Device-to-device fast path: full-res (depth, link-id) render maps
         in, joint angles out.
@@ -281,9 +383,11 @@ class Predictor:
             if not hasattr(self, "_synth_prep"):
                 self._synth_prep = self._prepare_synthetic_device()
             with self.timer.stage("target_load"):
-                self._target, self._tgt_lookup_crop = self._synth_prep(
+                res = self._synth_prep(
                     jnp.asarray(depth_full), jnp.asarray(lid_full)
                 )
+                self._target, self._tgt_lookup_crop = res[0], res[1]
+                self._fine_target = res[2] if len(res) > 2 else None
             return self._run_stages()
         key = (
             self.search_mode, self.lookup_topk, self.adaptive_escape,
@@ -291,9 +395,20 @@ class Predictor:
         )
         if getattr(self, "_synth_run_key", None) != key:
             self._setStages()
-            self._synth_prep_fn = self._synth_prep_core()
+            base_prep = self._synth_prep_core()
+            if self.fine_scale:
+                fine_prep = self._synth_prep_fine_core()
+
+                def prep3(a, b, _bp=base_prep, _fp=fine_prep):
+                    bundle, crop = _bp(a, b)
+                    return bundle, crop, _fp(a, b)
+
+                self._synth_prep_fn = prep3
+            else:
+                self._synth_prep_fn = base_prep
             self._synth_run = self._fused_run(
-                self._synth_prep_fn, self.lookup_topk, self.adaptive_escape
+                self._synth_prep_fn, self.lookup_topk, self.adaptive_escape,
+                fine=bool(self.fine_scale),
             )
             self._synth_escape_run = None
             self._synth_run_key = key
@@ -306,7 +421,8 @@ class Predictor:
     def _synth_escape(self, a, b) -> np.ndarray:
         if self._synth_escape_run is None:
             self._synth_escape_run = self._fused_run(
-                self._synth_prep_fn, ESCAPE_TOPK, False
+                self._synth_prep_fn, ESCAPE_TOPK, False,
+                fine=bool(self.fine_scale),
             )
         return np.asarray(
             self._synth_escape_run(a, b, self.lookup_depth, self.lookup_angles),
@@ -326,8 +442,13 @@ class Predictor:
                 angles = pending.escape(*pending.args)
         return angles
 
-    def _fused_run(self, prep, topk: int, with_conf: bool):
-        """jit (prep -> recipe) into one program for the fused fast lanes."""
+    def _fused_run(self, prep, topk: int, with_conf: bool, fine: bool = False):
+        """jit (prep -> recipe [-> fine polish]) into ONE program for the
+        fused fast lanes.  With ``fine``, ``prep`` must return a third
+        element — the FINE_POLISH_SCALE-resolution target built from the
+        same inputs (and, for the neural lane, the same single detector
+        forward) — and the fine pattern search runs inside the same
+        dispatch."""
         from .engine import _stage_key
 
         recipe = self.engine._recipe_fn(
@@ -340,17 +461,35 @@ class Predictor:
         )
         w2c = self.engine._w2c
         cam_vec = jnp.asarray(self.camera_pose, jnp.float32)
+        fine_fn = self._fine_polish_core() if fine else None
 
         @jax.jit
         def run1(a_full, b_full, lookup_depth, lookup_angles):
-            bundle, crop = prep(a_full, b_full)
-            return recipe(
+            res = prep(a_full, b_full)
+            bundle, crop = res[0], res[1]
+            out = recipe(
                 w2c, cam_vec, bundle, crop, lookup_depth, lookup_angles
             )
+            if fine_fn is not None:
+                fine_t = res[2]
+                if with_conf:
+                    # Skip the polish on frames headed for a top-k escape
+                    # re-run (their angles are discarded; the escape
+                    # program fine-polishes its own result).
+                    ang = jax.lax.cond(
+                        out[6] <= ESCAPE_CONF_THRESH,
+                        lambda x: fine_fn(x, w2c, fine_t),
+                        lambda x: x,
+                        out[:6],
+                    )
+                    out = jnp.concatenate([ang, out[6:]])
+                else:
+                    out = fine_fn(out[:6], w2c, fine_t)
+            return out
 
         return run1
 
-    def _real_prep_core(self):
+    def _real_prep_core(self, with_fine: bool = False):
         """Device-resident neural target preparation (unjitted core).
 
         The whole of ``_segmentLoad`` — downsample, letterbox, Mask R-CNN
@@ -432,7 +571,32 @@ class Predictor:
             tgt_crop = lookup_depth[
                 crop[0] : crop[1] + 1, crop[2] : crop[3] + 1
             ]
-            return bundle, tgt_crop.astype(jnp.float32)
+            if not with_fine:
+                return bundle, tgt_crop.astype(jnp.float32)
+
+            # Fine target (FINE_POLISH_SCALE x): paste the SAME detections
+            # at the scaled resolution — the 28x28 mask logits carry more
+            # boundary detail than the working grid resolves, so this is a
+            # genuine precision gain, not an upsample — and mask the
+            # scaled-resolution depth with the scaled body closure.
+            sc = self.fine_scale
+            fh, fw = h * sc, w * sc
+            fmasks_all = paste_box_masks(
+                out["masks"], boxes * sc, out["valid"], fh, fw
+            )
+
+            def flink_mask(i):
+                sel = (cls == i + 1) & out["valid"]
+                return jnp.any(fmasks_all & sel[:, None, None], axis=0)
+
+            flink_masks = jax.vmap(flink_mask)(jnp.arange(6))
+            fbody = close(flink_masks.any(axis=0), 8 * sc, 7 * sc)
+            fdepth = ds(depth_full, f // sc).astype(jnp.float32) * fbody
+            fine_t = TargetBundle(
+                flink_masks, flink_masks * fdepth[None],
+                flink_masks.any(axis=(1, 2)), fdepth,
+            )
+            return bundle, tgt_crop.astype(jnp.float32), fine_t
 
         return prep
 
@@ -445,11 +609,15 @@ class Predictor:
             # Preview routes through _run_stages' stepwise loop (see
             # run_synthetic).
             if not hasattr(self, "_real_prep"):
-                self._real_prep = jax.jit(self._real_prep_core())
+                self._real_prep = jax.jit(
+                    self._real_prep_core(with_fine=bool(self.fine_scale))
+                )
             with self.timer.stage("target_load"):
-                self._target, self._tgt_lookup_crop = self._real_prep(
+                res = self._real_prep(
                     jnp.asarray(target_color), jnp.asarray(target_depth)
                 )
+                self._target, self._tgt_lookup_crop = res[0], res[1]
+                self._fine_target = res[2] if len(res) > 2 else None
             return self._run_stages()
         key = (
             self.search_mode, self.lookup_topk, self.adaptive_escape,
@@ -457,9 +625,12 @@ class Predictor:
         )
         if getattr(self, "_real_run_key", None) != key:
             self._setStages()
-            self._real_prep_fn = self._real_prep_core()
+            self._real_prep_fn = self._real_prep_core(
+                with_fine=bool(self.fine_scale)
+            )
             self._real_run = self._fused_run(
-                self._real_prep_fn, self.lookup_topk, self.adaptive_escape
+                self._real_prep_fn, self.lookup_topk, self.adaptive_escape,
+                fine=bool(self.fine_scale),
             )
             self._real_escape_run = None
             self._real_run_key = key
@@ -472,7 +643,8 @@ class Predictor:
     def _real_escape(self, a, b) -> np.ndarray:
         if self._real_escape_run is None:
             self._real_escape_run = self._fused_run(
-                self._real_prep_fn, ESCAPE_TOPK, False
+                self._real_prep_fn, ESCAPE_TOPK, False,
+                fine=bool(self.fine_scale),
             )
         return np.asarray(
             self._real_escape_run(a, b, self.lookup_depth, self.lookup_angles),
@@ -492,18 +664,28 @@ class Predictor:
         if camera_pose is not None and np.any(camera_pose != self.camera_pose):
             self.changeCameraPose(camera_pose)
         F = len(target_colors)
-        bundles, crops = [], []
+        bundles, crops, fines = [], [], []
         with self.timer.stage("target_load"):
             for f in range(F):
-                depth = self._downsample(np.asarray(target_depths[f]), self.ds_factor)
+                depth_full = np.asarray(target_depths[f], np.float32)
+                depth = self._downsample(depth_full, self.ds_factor)
                 if self.synthetic:
                     self._loadSynthetic(np.asarray(target_colors[f]), depth)
                 else:
                     self._segmentLoad(np.asarray(target_colors[f]), depth)
                 bundles.append(self._target)
                 crops.append(self._tgt_lookup_crop)
+                fines.append(
+                    self._build_fine_target_host(
+                        np.asarray(target_colors[f]), depth_full
+                    )
+                )
         self._target = jax.tree.map(lambda *xs: jnp.stack(xs), *bundles)
         self._tgt_lookup_crop = jnp.stack(crops)
+        self._fine_target = (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *fines)
+            if fines[0] is not None else None
+        )
         return self._run_stages_sharded(F)
 
     def run_batch_synthetic(self, depth_full, lid_full) -> np.ndarray:
@@ -512,9 +694,11 @@ class Predictor:
             self._synth_prep = self._prepare_synthetic_device()
         F = depth_full.shape[0]
         with self.timer.stage("target_load"):
-            self._target, self._tgt_lookup_crop = jax.vmap(self._synth_prep)(
+            res = jax.vmap(self._synth_prep)(
                 jnp.asarray(depth_full), jnp.asarray(lid_full)
             )
+            self._target, self._tgt_lookup_crop = res[0], res[1]
+            self._fine_target = res[2] if len(res) > 2 else None
         return self._run_stages_sharded(F)
 
     def _run_stages_sharded(self, F: int) -> np.ndarray:
@@ -534,6 +718,8 @@ class Predictor:
             rep = lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
             self._target = jax.tree.map(rep, self._target)
             self._tgt_lookup_crop = rep(self._tgt_lookup_crop)
+            if self._fine_target is not None:
+                self._fine_target = jax.tree.map(rep, self._fine_target)
         mesh = global_mesh()
 
         def shard(x):
@@ -546,9 +732,46 @@ class Predictor:
         out = self._run_stages(batch=F + pad)
         return out[:F]
 
+    def _build_fine_target_host(self, color_full, depth_full):
+        """FINE_POLISH_SCALE-resolution target for the host stage loop.
+
+        Synthetic inputs rebuild exact masks from the full-res render colors
+        (same blue-equality criterion at the finer grid).  Neural inputs
+        nearest-upsample the working-res detection masks — the fine gain
+        there comes from the true finer depth; the fused ``run_real`` lane
+        pastes detections natively at the fine grid instead."""
+        if not self.fine_scale:
+            return None
+        f2 = self.ds_factor // self.fine_scale
+        fdepth = np.asarray(self._downsample(depth_full, f2), np.float32)
+        if self.synthetic:
+            color_f = np.asarray(
+                self._downsample(color_full, f2)
+            ).round().astype(np.uint8)
+            masks = np.stack([
+                color_f[..., 0] == self.color_dict[link][0]
+                for link in self.link_names
+            ])
+            depth = fdepth
+        else:
+            sc = self.fine_scale
+            cm = np.asarray(self._target.masks)  # [6, h, w] working res
+            masks = np.repeat(np.repeat(cm, sc, axis=1), sc, axis=2)
+            # Body mask: upsampled support of the working-res closed-body
+            # depth (dilate-8/erode-7 already applied there).
+            body8 = np.asarray(self._target.depth) > 0
+            body = np.repeat(np.repeat(body8, sc, axis=0), sc, axis=1)
+            depth = fdepth * body
+        return TargetBundle(
+            jnp.asarray(masks), jnp.asarray(masks * depth[None], jnp.float32),
+            jnp.asarray(masks.any(axis=(1, 2))),
+            jnp.asarray(depth, jnp.float32),
+        )
+
     def _loadSynthetic(self, target_color, target_depth):
         """Recover per-link masks from exact render colors
         (predict.py:445-469; matching on the unique blue channel)."""
+        self._fine_target = None  # callers rebuild it (stale-guard)
         target_color = np.asarray(
             self._downsample(target_color, self.ds_factor)
         ).round().astype(np.uint8)
@@ -575,6 +798,7 @@ class Predictor:
 
     def _segmentLoad(self, target_color, target_depth):
         """Mask R-CNN segmentation -> per-link masks (predict.py:415-442)."""
+        self._fine_target = None  # callers rebuild it (stale-guard)
         color_ds = self._downsample(target_color, self.ds_factor).astype(np.uint8)
         # RGB-D models consume the registered depth as a 4th channel.
         dep = target_depth if self.seg.cfg.in_channels == 4 else None
@@ -612,7 +836,8 @@ class Predictor:
         if camera_pose is not None and np.any(camera_pose != self.camera_pose):
             self.changeCameraPose(camera_pose)
 
-        target_depth = self._downsample(target_depth, self.ds_factor)
+        depth_full = np.asarray(target_depth, np.float32)
+        target_depth = self._downsample(depth_full, self.ds_factor)
 
         with self.timer.stage("target_load"):
             if self.synthetic:
@@ -623,6 +848,9 @@ class Predictor:
                 output, target_depth, lookup_depth = self._segmentLoad(
                     target_color, target_depth
                 )
+            self._fine_target = self._build_fine_target_host(
+                target_color, depth_full
+            )
 
         if self.preview:
             self.viz.loadTargetColor(np.asarray(output))
@@ -649,7 +877,9 @@ class Predictor:
         """
         self._setStages()
         if self.preview:
-            return self._run_stages_stepwise(batch)
+            return self._apply_fine_polish_host(
+                self._run_stages_stepwise(batch)
+            )
         jacobi = self.search_mode == "fast"
         with self.timer.stage("stages_fused"):
             angles = self.engine.run_recipe(
@@ -666,7 +896,7 @@ class Predictor:
             )
         out = np.asarray(angles, dtype=float)
         if not self.adaptive_escape:
-            return out
+            return self._apply_fine_polish_host(out)
         out, conf = out[..., :6], out[..., 6]
         with self.timer.stage("basin_escape"):
             if batch is None:
@@ -692,7 +922,7 @@ class Predictor:
                         ),
                         dtype=float,
                     )
-        return out
+        return self._apply_fine_polish_host(out)
 
     def _run_stages_stepwise(self, batch: Optional[int] = None) -> np.ndarray:
         """Per-stage dispatch loop (preview/debug path; also the reference

@@ -43,6 +43,7 @@ def test_modeless_error_ordering(frames):
     assert e_true < e_base < e_far
 
 
+@pytest.mark.slow
 def test_seg_camera_predictor_converges(frames):
     from ropes3d_tpu.prediction.camera_pose import CameraPredictor
 
@@ -106,6 +107,7 @@ def test_pair_sweep_and_refine_metric(frames):
     assert err1.sum() < err0.sum()
 
 
+@pytest.mark.slow
 def test_refine_pass_pulls_toward_truth(frames):
     """A short truncated-L1 refine pass (pair sweep + position block) must
     reduce a coupled x-yaw offset.  (The full-recipe solve measures <2 cm

@@ -110,6 +110,7 @@ def test_synthetic_closed_loop(synth):
     assert errs.min() < 1.0
 
 
+@pytest.mark.slow
 def test_batched_matches_sequential(synth):
     """Frame-parallel (vmapped) stages must reproduce per-frame results."""
     import jax.numpy as jnp
@@ -126,6 +127,7 @@ def test_batched_matches_sequential(synth):
     np.testing.assert_allclose(bat, seq, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_multi_hypothesis_lookup(synth):
     """lookup_topk refines k seeds in parallel and returns the best; must be
     at least as accurate as single-seed on a known pose."""
@@ -162,6 +164,40 @@ def test_predictor_full_angle_sets(synth):
     assert all(full[-1].joints[:5])
 
 
+def test_fused_programs_trace(synth):
+    """Trace-only sibling of the slow-marked tests: the topk=2 fused
+    program and the frame-vmapped prep must trace to the right output
+    shapes.  jax.eval_shape catches argument/shape regressions in seconds;
+    the numeric equivalence itself is covered nightly by
+    test_multi_hypothesis_lookup / test_batched_matches_sequential."""
+    import jax
+    import jax.numpy as jnp
+
+    p = synth.predictor
+    p._setStages()
+    h = synth.renderer.intrinsics.height
+    w = synth.renderer.intrinsics.width
+    a = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    b = jax.ShapeDtypeStruct((h, w), jnp.int32)
+
+    # topk=2 multi-hypothesis fused program (slow sibling compiles+runs it).
+    prep = p._synth_prep_core()
+    run2 = p._fused_run(prep, topk=2, with_conf=False)
+    out = jax.eval_shape(run2, a, b, p.lookup_depth, p.lookup_angles)
+    assert out.shape == (6,)
+
+    # Frame-vmapped prep (run_batch_synthetic's target load).
+    if not hasattr(p, "_synth_prep"):
+        p._synth_prep = p._prepare_synthetic_device()
+    F = 3
+    af = jax.ShapeDtypeStruct((F, h, w), jnp.float32)
+    bf = jax.ShapeDtypeStruct((F, h, w), jnp.int32)
+    res = jax.eval_shape(jax.vmap(p._synth_prep), af, bf)
+    bundle, crop = res[0], res[1]
+    assert crop.shape[0] == F
+    assert bundle.masks.shape[0] == F
+
+
 def test_fused_recipe_matches_stepwise(synth):
     """The whole-recipe fused program (and its sharded-lookup split) must
     reproduce the per-stage dispatch loop exactly."""
@@ -170,7 +206,9 @@ def test_fused_recipe_matches_stepwise(synth):
     p = synth.predictor
     pred_fused = p.run_synthetic(depth[0], lid[0])
     prep = p._prepare_synthetic_device()
-    p._target, p._tgt_lookup_crop = prep(depth[0], lid[0])
+    res = prep(depth[0], lid[0])
+    p._target, p._tgt_lookup_crop = res[0], res[1]
+    p._fine_target = res[2] if len(res) > 2 else None
     p._setStages()
-    pred_step = p._run_stages_stepwise()
+    pred_step = p._apply_fine_polish_host(p._run_stages_stepwise())
     np.testing.assert_allclose(pred_fused, pred_step, atol=1e-5)

@@ -95,6 +95,7 @@ def seg_root(tmp_path_factory):
     os.environ["ROPES3D_ROOT"] = old
 
 
+@pytest.mark.slow
 def test_full_segmentation_loop(seg_root):
     from ropes3d_tpu.data import Dataset
     from ropes3d_tpu.data.annotation import AutomaticAnnotator
