@@ -88,18 +88,47 @@ def _main():
     # Warmup / compile.
     engine.evaluate(fresh_batch(), target, 6)
 
-    # Sustained throughput: dispatch every batch, block once at the end —
-    # per-call host read-backs would otherwise measure the tunnel's ~30 ms
-    # device->host latency instead of the evaluator.
+    # Sustained throughput, ONE dispatch: lax.scan over pre-staged fresh
+    # batches so the figure measures the device, not the dispatch
+    # transport.  Round 2 showed the per-call-dispatch loop is hostage to
+    # tunnel weather (4.9k cand/s driver-run vs 8.3k builder-run for the
+    # *same* loop); a single scanned program removes the per-iteration
+    # dispatch RTT from the measurement entirely.  Every iteration still
+    # evaluates fresh candidate angles (transport caching, see SKILL.md).
+    eval_fn = engine._eval_fn(6)
+    n_iters = 24
+    stacked = jnp.asarray(
+        np.stack([fresh_batch() for _ in range(n_iters)])
+    )  # [n_iters, B, 6]
+
+    @jax.jit
+    def sustained(allb, w2c, tgt):
+        def body(_, b):
+            e = eval_fn(b, w2c, tgt)
+            return 0.0, e.min()
+        _, mins = jax.lax.scan(body, 0.0, allb)
+        return mins
+
+    # Compile/warm on a *different* fresh stack of the same shape — the
+    # transport caches identical executions, so warmup and timed inputs
+    # must differ.
+    warm = jnp.asarray(np.stack([fresh_batch() for _ in range(n_iters)]))
+    sustained(warm, engine._w2c, target).block_until_ready()
+    jax.block_until_ready(stacked)
+    t0 = time.perf_counter()
+    sustained(stacked, engine._w2c, target).block_until_ready()
+    dt = time.perf_counter() - t0
+    cand_per_s = B * n_iters / dt
+
+    # Secondary: the round-2-style serial-dispatch loop (per-call enqueue,
+    # block once) — reported in extras as dispatch-loop throughput.
     eval_jit = engine._evaluate_jit(6)
-    n_iters = 12
-    batches = [jnp.asarray(b) for b in (fresh_batch() for _ in range(n_iters))]
+    batches = [jnp.asarray(fresh_batch()) for _ in range(12)]
     jax.block_until_ready(batches[-1])
     t0 = time.perf_counter()
     outs = [eval_jit(b, engine._w2c, target) for b in batches]
     jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    cand_per_s = B * n_iters / dt
+    dispatch_cand_per_s = B * 12 / (time.perf_counter() - t0)
 
     # VPU roofline estimate for the fused raster+error kernel: the kernel
     # is elementwise-bound (FMA plane evaluation; the K=3 MXU formulation
@@ -238,6 +267,8 @@ def _main():
         "extra": {
             "resolution": f"{intr.width}x{intr.height}",
             "batch": B,
+            "scan_iters": n_iters,
+            "dispatch_loop_cand_per_s": round(dispatch_cand_per_s, 1),
             "baseline_model_per_s": round(baseline, 1),
             "e2e_frames": n_frames,
             "e2e_p50_ms_per_frame": p50_ms,

@@ -142,18 +142,28 @@ class Wizard:
 
 
 def main():
-    """``wizard.py [NAME [-rebuild]]`` — build a dataset or run the wizard
-    (reference wizard.py:24-35)."""
+    """``wizard.py [NAME [-rebuild]] [-gui|-terminal]`` — build a dataset or
+    run the wizard (reference wizard.py:24-35).  With a display attached the
+    graphical tabbed wizard opens (reference parity, wizards.py:28-371);
+    headless/SSH sessions fall back to the terminal menu.  Flags override."""
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("dataset", nargs="?", default=None)
     p.add_argument("-rebuild", action="store_true")
+    p.add_argument("-gui", action="store_true", help="force the graphical wizard")
+    p.add_argument("-terminal", action="store_true", help="force the terminal menu")
     a = p.parse_args()
     if a.dataset:
         from ..data.dataset import Dataset
 
         Dataset(a.dataset, rebuild=a.rebuild)
+        return
+    use_gui = a.gui or (not a.terminal and bool(os.environ.get("DISPLAY")))
+    if use_gui:
+        from .wizard_gui import GraphicalWizard
+
+        GraphicalWizard().run()
     else:
         Wizard().run()
 

@@ -729,6 +729,8 @@ class Predictor:
 
         self._target = jax.tree.map(shard, self._target)
         self._tgt_lookup_crop = shard(self._tgt_lookup_crop)
+        if self._fine_target is not None:
+            self._fine_target = jax.tree.map(shard, self._fine_target)
         out = self._run_stages(batch=F + pad)
         return out[:F]
 

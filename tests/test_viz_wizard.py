@@ -70,3 +70,56 @@ def test_color_array_colormap():
     assert out.shape == (8, 8, 3) and out.dtype == np.uint8
     assert (out[0, 0] == 0).all()  # zeros stay black
     assert out[2:6, 2:6].any()
+
+
+def test_graphical_wizard_headless():
+    """Drive the matplotlib tabbed wizard (Agg backend): tab switching,
+    split sliders + bar graphs, previews, model tree — no display needed."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from ropes3d_tpu.cli.wizard_gui import GraphicalWizard
+
+    w = GraphicalWizard()
+    assert w.active_tab == "Data"
+    for tab in ("Training", "Prediction", "URDF", "Data"):
+        w.show_tab(tab)
+        assert w.active_tab == tab
+    w._train_slider.set_val(0.6)
+    w._val_slider.set_val(0.3)
+    sv = w.split_values()
+    assert abs(sv["train"] - 0.6) < 1e-9
+    assert abs(sv["ignore"] - 0.1) < 1e-6
+    # validate is clamped so train+validate never exceeds 1.
+    w._train_slider.set_val(0.9)
+    w._val_slider.set_val(0.5)
+    assert w.split_values()["validate"] <= 0.1 + 1e-9
+    w._next_thumbnail()
+    w._show_details()
+    w.delete_model("no-such-model")  # no-op, must not raise
+
+
+def test_meshviewer_modes_headless():
+    """MeshViewer render modes, crop-to-fit and highlight (Agg backend)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from ropes3d_tpu.cli.wizard_gui import MeshViewer
+
+    mv = MeshViewer()
+    full = mv.render()
+    assert full.ndim == 3 and full.dtype == np.uint8
+    mv.crop = False
+    uncropped = mv.render()
+    assert uncropped.shape[0] >= full.shape[0]  # crop-to-fit shrinks
+    mv.set_mode("Realistic")
+    assert mv.mode == "real"
+    real = mv.render()
+    assert real.shape == uncropped.shape
+    mv.set_mode("Segmented")
+    mv.selected, mv.highlight = 2, True
+    hi = mv.render()
+    assert hi.shape == uncropped.shape and hi.any()
+    mv.orbit = np.pi / 2
+    side = mv.render()
+    assert side.any()
