@@ -2,12 +2,18 @@
 
 Renders shaded robot poses over procedural clutter + depth noise at
 1280x720, predicts via the full segmentation pipeline, reports latency
-and per-joint error.  Usage: python assets/bench_cluttered.py
+and per-joint error.  Clutter is z-buffer-composited: every distractor
+rectangle carries a real depth, so the depth channel is cluttered (and
+can occlude the robot) exactly as the RGB channel is — an RGB-D
+segmenter gets no free geometric giveaway.
+
+Usage: python assets/bench_cluttered.py [n_frames] [run|run_real]
 """
-import os, time
+import os, sys, time
 os.environ["ROPES3D_ROOT"] = "/root/repo"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, "/root/repo")
 import numpy as np
 from ropes3d_tpu.simulation.renderer import Renderer
 from ropes3d_tpu.simulation.noise import NoiseMaker
@@ -23,51 +29,67 @@ lim = urdf.joint_limits
 H, W = 720, 1280
 rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
 
-def cluttered_bg():
+def cluttered_scene(robot_color, robot_depth):
+    """Z-composite the shaded robot render into a cluttered RGB-D scene.
+
+    Background: a sloped far plane (3.2-5 m) under gradient+speckle
+    shading.  Distractors: 6 colored rectangles at random depths
+    0.5-3.2 m, occluding the robot when nearer (robot stands ~1.5 m from
+    the camera) — mirrors training's DeviceSynthPipeline z-buffer scene
+    model but generated host-side with an independent RNG."""
     img = (np.ones((H, W, 3)) * rng.uniform(0, 255, 3)
            + (cc / W * rng.uniform(-80, 80))[..., None]
            + (rr / H * rng.uniform(-80, 80))[..., None]
            + rng.normal(0, 25, (H, W, 3)))
+    dep = (rng.uniform(3.2, 5.0)
+           + (rr / H) * rng.uniform(-0.8, 0.8)
+           + (cc / W) * rng.uniform(-0.8, 0.8))
+    # Paint the robot where it is nearer than the background plane.
+    rob = (robot_depth > 0) & (robot_depth < dep)
+    img[rob] = robot_color[rob]
+    dep = np.where(rob, robot_depth, dep)
     for _ in range(6):
         cy, cx = rng.uniform(0, H), rng.uniform(0, W)
-        hh, ww = rng.uniform(30, H/3), rng.uniform(30, W/3)
+        hh, ww = rng.uniform(30, H / 3), rng.uniform(30, W / 3)
         col = rng.uniform(0, 255, 3)
-        m = (np.abs(rr - cy) < hh) & (np.abs(cc - cx) < ww)
+        z = rng.uniform(0.5, 3.2)
+        m = (np.abs(rr - cy) < hh) & (np.abs(cc - cx) < ww) & (z < dep)
         img[m] = col
-    return np.clip(img, 0, 255)
+        dep[m] = z
+    return np.clip(img, 0, 255), dep
 
+lane = sys.argv[2] if len(sys.argv) > 2 else "run_real"
 p = Predictor(cam, 8, do_angles="SLU", base_intrin="1280_720_color",
               model_ds="bootstrap", lookup_topk=1)
-n = 40
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 errs, times = [], []
 for i in range(n):
     pose = rng.uniform(lim[:, 0], lim[:, 1]) * np.array([1, 1, 1, 0, 0, 0])
     rend.setJointAngles(pose)
     color, depth = rend.render()
-    color = np.asarray(color, float)
-    bg = cluttered_bg()
-    mask = depth > 0
-    img = np.where(mask[..., None], color, bg).astype(np.uint8)
-    d = noise.holes(depth)
+    img, d = cluttered_scene(np.asarray(color, float), depth)
+    img = img.astype(np.uint8)
+    d = noise.holes(d)
     t0 = time.perf_counter()
-    est = p.run_real(img, d)
+    est = getattr(p, lane)(img, d)
     dt = 1e3 * (time.perf_counter() - t0)
     times.append(dt)
     errs.append(np.degrees(np.abs(est - pose))[:3])
     if (i + 1) % 10 == 0:
         print(f"{i+1}/{n}", flush=True)
 errs = np.array(errs)
-print("cluttered real-seg e2e (bootv2):")
+seg_id = os.path.basename(os.path.dirname(getattr(p.seg, "ckpt_path", "?")))
+print(f"cluttered real-seg e2e ({seg_id} {lane}):")
 print(f"  latency p50 {np.percentile(times[1:], 50):.0f} ms, p90 {np.percentile(times[1:], 90):.0f}")
 print(f"  err median {np.median(errs):.3f} deg, p90 {np.percentile(errs, 90):.3f}, max {errs.max():.1f}")
 seg_t = []
-import jax
+from ropes3d_tpu.ops.image import downsample
+import jax.numpy as jnp
 for i in range(5):
-    img2 = np.where(mask[..., None], color, cluttered_bg()).astype(np.uint8)
-    from ropes3d_tpu.ops.image import downsample
-    import jax.numpy as jnp
+    img2, d2 = cluttered_scene(np.asarray(color, float), depth)
     small = np.asarray(downsample(jnp.asarray(img2), 8)).astype(np.uint8)
+    small_d = np.asarray(downsample(jnp.asarray(d2, jnp.float32)[..., None], 8))[..., 0]
     t0 = time.perf_counter()
-    p.seg.segment(small)
+    p.seg.segment(small, small_d if p.seg.cfg.in_channels == 4 else None)
     seg_t.append(1e3 * (time.perf_counter() - t0))
 print(f"  segmenter inference: {np.median(seg_t):.0f} ms")

@@ -223,7 +223,8 @@ def _main():
             inputs.append((jnp.array(d[0]), jnp.array(l[0])))
         jax.block_until_ready(inputs[-1])
         p.run_synthetic(*inputs[0])  # warmup/compile
-        p._synth_escape(*inputs[0])  # pre-compile the escape program too
+        if p.adaptive_escape:
+            p._synth_escape(*inputs[0])  # pre-compile the escape program
 
         # Steady-state per-frame latency in a depth-2 pipeline: dispatch
         # frame i, then finish frame i-1 — the tunnel's ~30 ms read-back of

@@ -59,6 +59,14 @@ LOOKUP_NUM_RENDERED = 6
 ESCAPE_CONF_THRESH = 0.5
 ESCAPE_TOPK = 4
 
+# Staged top-k: with lookup_topk=k, all k seeds run the cheap early stages
+# (flips + sweeps + coarse descent); only the best TOPK_FINAL survivors run
+# the expensive final descent + polish.  Measured on 150 synthetic frames
+# (160x90, SLU): k=4 with TOPK_FINAL=1 gives p90 err 1.39 deg, TOPK_FINAL=k
+# (full per-seed) 0.96 deg at ~1.8x the device time; 2 recovers most of the
+# gap for one extra final-descent lane.
+TOPK_FINAL = 2
+
 # Fine-polish pass: after the staged recipe, a pattern search evaluated at
 # FINE_POLISH_SCALE x the working resolution (target prepared at the same
 # scale inside the fused program).  The working-res error landscape

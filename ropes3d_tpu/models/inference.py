@@ -56,6 +56,7 @@ class Segmenter:
         import orbax.checkpoint as ocp
 
         self.class_names = class_names
+        self.ckpt_path = os.path.abspath(ckpt_path)
         model_dir = os.path.dirname(os.path.abspath(ckpt_path))
         cfg_file = os.path.join(model_dir, "model_config.json")
         if cfg is None and os.path.isfile(cfg_file):

@@ -602,17 +602,23 @@ class CandidateEvaluator:
         return lookup_angles[idx]
 
     @staticmethod
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("k",))
     def lookup_select_batch(
         tgt_crops: jnp.ndarray,  # [F, ch, cw]
         lookup_sqrt: jnp.ndarray,  # [N, ch, cw]
         lookup_angles: jnp.ndarray,  # [N, 6]
+        k: int = 1,
     ) -> jnp.ndarray:
-        """Frame-batched lookup argmin: -> angles [F, 6]."""
+        """Frame-batched lookup argmin: -> angles [F, 6] (or [F, k, 6]
+        best-first when ``k`` > 1).  lax.map bounds the [N, ch, cw] diff
+        intermediate to one frame at a time."""
 
         def one(tgt):
             m, s = mean_abs_std(tgt[None] - lookup_sqrt)
             err = m * s
+            if k > 1:
+                _, idx = jax.lax.top_k(-err, k)
+                return lookup_angles[idx]
             return lookup_angles[jnp.argmin(err)]
 
         return jax.lax.map(one, tgt_crops)
@@ -844,6 +850,65 @@ class CandidateEvaluator:
                 state = self._apply_stage(sk, state, w2c, target, cam_pose, jacobi)
             return state.angles
 
+        # Staged top-k: the candidate basins are ranked by the cheap early
+        # stages (flips + sweeps + coarse descent); only the best
+        # config.TOPK_FINAL survivors run the expensive final descent
+        # (+ polish), which is the recipe's costliest span.  The split
+        # point is the last descent in the recipe; recipes without one
+        # (e.g. 'SL') run every seed end-to-end.  Measured on 150
+        # synthetic frames (see config.TOPK_FINAL): the cheap-stage
+        # ranking alone misses basins the final descent would reorder
+        # (p90 1.39 vs 0.96 deg full), so 2 survivors is the default.
+        from ..config import TOPK_FINAL
+
+        _last_desc = max(
+            (i for i, sk in enumerate(post) if sk[0] == "descent"),
+            default=None,
+        )
+        _split = (
+            _last_desc
+            if (topk > 1 and _last_desc is not None and TOPK_FINAL < topk)
+            else None
+        )
+        post_cheap = post[:_split] if _split is not None else post
+        post_final = post[_split:] if _split is not None else ()
+        final_m = min(max(1, TOPK_FINAL), topk)
+
+        def run_cheap_state(seed, w2c, target, cam_pose):
+            state = SearchState.fresh(history_length)._replace(angles=seed)
+            for sk in post_cheap:
+                state = self._apply_stage(sk, state, w2c, target, cam_pose, jacobi)
+            return state
+
+        def run_final_state(state, w2c, target, cam_pose):
+            for sk in post_final:
+                state = self._apply_stage(sk, state, w2c, target, cam_pose, jacobi)
+            return state
+
+        def topk_post(seeds, w2c, target, cam_pose):
+            """seeds [k, 6] -> (angles [6], final error scalar)."""
+            states = jax.vmap(
+                run_cheap_state, in_axes=(0, None, None, None)
+            )(seeds, w2c, target, cam_pose)
+            errs = eval6(states.angles, w2c, target)
+            if not post_final:
+                win = jnp.argmin(errs)
+                return (
+                    jax.tree.map(lambda x: x[win], states).angles,
+                    errs[win],
+                )
+            _, idx = jax.lax.top_k(-errs, final_m)
+            survivors = jax.tree.map(lambda x: x[idx], states)
+            survivors = jax.vmap(
+                run_final_state, in_axes=(0, None, None, None)
+            )(survivors, w2c, target, cam_pose)
+            errs_f = eval6(survivors.angles, w2c, target)
+            win = jnp.argmin(errs_f)
+            return (
+                jax.tree.map(lambda x: x[win], survivors).angles,
+                errs_f[win],
+            )
+
         eval6 = self._eval_fn(final_render)
         la_final = (np.arange(6) >= 1) & (np.arange(6) < final_render)
 
@@ -877,14 +942,10 @@ class CandidateEvaluator:
 
             def single_seeded(w2c, cam_pose, target, seeds):
                 if topk > 1:
-                    all_angles = jax.vmap(
-                        run_post, in_axes=(0, None, None, None)
-                    )(seeds, w2c, target, cam_pose)
-                    errs = eval6(all_angles, w2c, target)
-                    best = all_angles[jnp.argmin(errs)]
+                    best, err = topk_post(seeds, w2c, target, cam_pose)
                     if with_conf:
                         return jnp.concatenate(
-                            [best, conf_of(jnp.min(errs), target)[None]]
+                            [best, conf_of(err, target)[None]]
                         )
                     return best
                 return finish(
@@ -892,6 +953,18 @@ class CandidateEvaluator:
                 )
 
             if batched:
+                if topk > 1:
+                    def seeded_frame(w2c, cam_pose, target, seed_k):
+                        best, err = topk_post(seed_k, w2c, target, cam_pose)
+                        if with_conf:
+                            return jnp.concatenate(
+                                [best, conf_of(err, target)[None]]
+                            )
+                        return best
+
+                    return jax.vmap(
+                        seeded_frame, in_axes=(None, None, 0, 0)
+                    )
                 return jax.vmap(
                     lambda w2c, cam_pose, target, seed: finish(
                         run_post(seed, w2c, target, cam_pose), w2c, target
@@ -912,24 +985,23 @@ class CandidateEvaluator:
                 return finish(state.angles, w2c, target)
             seeds = lookup_one(tgt_crop, lookup_sqrt, lookup_angles)
             if topk > 1:
-                all_angles = jax.vmap(
-                    run_post, in_axes=(0, None, None, None)
-                )(seeds, w2c, target, cam_pose)
-                errs = eval6(all_angles, w2c, target)
-                best = all_angles[jnp.argmin(errs)]
+                best, err = topk_post(seeds, w2c, target, cam_pose)
                 if with_conf:
                     return jnp.concatenate(
-                        [best, conf_of(jnp.min(errs), target)[None]]
+                        [best, conf_of(err, target)[None]]
                     )
                 return best
             return finish(run_post(seeds, w2c, target, cam_pose), w2c, target)
 
         fn = single
         if batched:
-            if not pre and lookup_pos is not None and topk == 1:
+            if not pre and lookup_pos is not None:
                 # Lookup via lax.map over frames (bounds the [N, ch, cw]
                 # diff intermediate to one frame at a time), then the rest
-                # of the recipe vmapped over the frame axis.
+                # of the recipe vmapped over the frame axis.  With topk > 1
+                # the seeds come out [F, k, 6] and each frame runs the
+                # staged top-k search (cheap stages on all k, final descent
+                # on the TOPK_FINAL survivors).
                 def batched_fn(
                     w2c, cam_pose, target, tgt_crop, lookup_sqrt, lookup_angles
                 ):
@@ -937,6 +1009,18 @@ class CandidateEvaluator:
                         lambda t: lookup_one(t, lookup_sqrt, lookup_angles),
                         tgt_crop,
                     )
+                    if topk > 1:
+                        def per_frame(seed_k, tgt):
+                            best, err = topk_post(seed_k, w2c, tgt, cam_pose)
+                            if with_conf:
+                                return jnp.concatenate(
+                                    [best, conf_of(err, tgt)[None]]
+                                )
+                            return best
+
+                        return jax.vmap(per_frame, in_axes=(0, 0))(
+                            seeds, target
+                        )
                     return jax.vmap(
                         lambda seed, tgt: finish(
                             run_post(seed, w2c, tgt, cam_pose), w2c, tgt
@@ -983,7 +1067,7 @@ class CandidateEvaluator:
         if multi and has_lookup and key[0][0] == "lookup":
             if batched:
                 seeds = self.lookup_select_batch(
-                    tgt_crop, lookup_sqrt, lookup_angles
+                    tgt_crop, lookup_sqrt, lookup_angles, k=topk
                 )
             elif topk > 1:
                 seeds = self.lookup_select_topk(

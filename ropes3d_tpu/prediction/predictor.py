@@ -69,7 +69,7 @@ class Predictor:
         model_ds: str = "set10",
         color_dict: Optional[dict] = None,
         search_mode: str = "parity",
-        lookup_topk="auto",
+        lookup_topk=4,
         fine_polish: bool = True,
     ):
         """``search_mode``: 'parity' (default) replays the reference's
@@ -78,13 +78,18 @@ class Predictor:
         larger device steps — useful at higher working resolutions where
         per-render cost dominates over iteration count).
 
-        ``lookup_topk``: "auto" (default) runs single-seed and re-runs a
-        frame with the best ``ESCAPE_TOPK`` lookup seeds only when its
-        wrong-basin confidence ratio is ambiguous — single-seed cost on
-        confident frames, top-k robustness on the rest (the reference's
-        single-seed lookup shares the wrong-basin failure mode,
-        predict.py:163-171).  An int k > 1 forces k hypotheses always;
-        k = 1 forces pure single-seed."""
+        ``lookup_topk``: number of lookup seeds explored as parallel
+        hypotheses (the reference's single-seed lookup falls into wrong
+        basins, predict.py:163-171).  The default 4 uses the STAGED
+        schedule (config.TOPK_FINAL): all seeds run the cheap early
+        stages, the best 2 survivors run the final descent + polish —
+        measured 0.28 deg median / 1.10 p90 / 8.2 max on 150 synthetic
+        frames vs 0.40/2.08/18.6 single-seed, for ~25% more device time.
+        k = 1 forces pure single-seed.  "auto" runs single-seed plus a
+        top-``ESCAPE_TOPK`` re-run of frames whose wrong-basin confidence
+        ratio exceeds ESCAPE_CONF_THRESH — cheapest, but the confidence
+        signal misses most of the 2-18 deg tail (it only flags
+        catastrophic basins), so it is no longer the default."""
         assert search_mode in ("fast", "parity")
         self.search_mode = search_mode
         # lookup_topk > 1 refines the best k lookup seeds in parallel
@@ -890,7 +895,7 @@ class Predictor:
                 self._tgt_lookup_crop,
                 self.lookup_depth,
                 self.lookup_angles,
-                topk=self.lookup_topk if batch is None else 1,
+                topk=self.lookup_topk,
                 jacobi=jacobi,
                 batched=batch is not None,
                 history_length=self.history_length,

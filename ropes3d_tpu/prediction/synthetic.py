@@ -28,6 +28,7 @@ class SyntheticPredictor:
         do_angles: str,
         noise: bool = False,
         seed: int = None,
+        **predictor_kwargs,
     ):
         self.renderer = Renderer(camera_pose=camera_pose, camera_intrin=base_intrin)
         self.predictor = Predictor(
@@ -36,6 +37,7 @@ class SyntheticPredictor:
             do_angles=do_angles,
             base_intrin=base_intrin,
             color_dict=self.renderer.color_dict,
+            **predictor_kwargs,
         )
         self.urdf_reader = URDFReader()
         self.do_angles = do_angles

@@ -58,7 +58,14 @@ def synth(predict_root):
     assert ang.shape == (216, 6)
     from ropes3d_tpu.prediction.synthetic import SyntheticPredictor
 
-    return SyntheticPredictor(CAM, "640_480_color", 16, "SLU", noise=False, seed=0)
+    # lookup_topk=1 pins single-seed semantics: the fused-vs-stepwise parity
+    # tests compare against the reference's single-seed stage loop, and the
+    # smaller program keeps XLA:CPU compiles inside the suite budget.  The
+    # staged top-k default is covered by test_fused_programs_trace (trace)
+    # and test_multi_hypothesis_lookup (slow, numeric).
+    return SyntheticPredictor(
+        CAM, "640_480_color", 16, "SLU", noise=False, seed=0, lookup_topk=1
+    )
 
 
 def test_lookup_registry_roundtrip(predict_root, synth):
@@ -185,6 +192,16 @@ def test_fused_programs_trace(synth):
     run2 = p._fused_run(prep, topk=2, with_conf=False)
     out = jax.eval_shape(run2, a, b, p.lookup_depth, p.lookup_angles)
     assert out.shape == (6,)
+
+    # topk=4 exercises the STAGED top-k split (4 > config.TOPK_FINAL: the
+    # cheap stages rank all seeds, only the best TOPK_FINAL survivors run
+    # the final descent + polish).
+    from ropes3d_tpu.config import TOPK_FINAL
+
+    assert TOPK_FINAL < 4
+    run4 = p._fused_run(prep, topk=4, with_conf=True)
+    out = jax.eval_shape(run4, a, b, p.lookup_depth, p.lookup_angles)
+    assert out.shape == (7,)
 
     # Frame-vmapped prep (run_batch_synthetic's target load).
     if not hasattr(p, "_synth_prep"):

@@ -149,6 +149,7 @@ def test_full_segmentation_loop(seg_root):
         do_angles="SL",
         base_intrin=ds.attrs["color_intrinsics"],
         model_ds="segset",
+        lookup_topk=1,  # single-seed: smallest compile surface (suite budget)
     )
     angles = pred.run(np.asarray(ds.og_img[0]), np.asarray(ds.depthmaps[0]))
     assert angles.shape == (6,)
