@@ -76,6 +76,8 @@ class Live:
         feed: str = None,
         coupling_path: str = None,
         camera_pose=None,
+        preview: bool = False,
+        save_video: str = None,
     ):
         from ..config import DEFAULT_CAMERA_POSE
         from ..prediction.coupling import JSONCoupling
@@ -99,6 +101,8 @@ class Live:
             do_angles=do_angles,
             base_intrin=base_intrin,
             model_ds=model_ds,
+            preview=preview or save_video is not None,
+            save_to=save_video,
         )
         self.dist = JointDistance()
         self.preds = []
@@ -145,8 +149,20 @@ def main():
     p.add_argument("-ds_factor", type=int, default=8)
     p.add_argument("-feed", default=None, help="e.g. dataset:<name> to replay")
     p.add_argument("-frames", type=int, default=None)
+    p.add_argument(
+        "-preview", action="store_true",
+        help="live ProjectionViz composite (input blend / detected links / "
+        "render / depth diff; reference predict.py:517-603)",
+    )
+    p.add_argument(
+        "-save_video", default=None,
+        help="write the ProjectionViz composite to this AVI path",
+    )
     a = p.parse_args()
-    Live(a.intrin, a.model_ds, a.angs, a.ds_factor, a.feed).run(a.frames)
+    Live(
+        a.intrin, a.model_ds, a.angs, a.ds_factor, a.feed,
+        preview=a.preview, save_video=a.save_video,
+    ).run(a.frames)
 
 
 if __name__ == "__main__":

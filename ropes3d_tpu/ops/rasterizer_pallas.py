@@ -276,7 +276,6 @@ def _raster_error_kernel(
     origin_ref,  # SMEM [2] f32
     gbbox_ref,  # SMEM [1, 1, 4] f32 — per-candidate silhouette bbox
     chunk_bbox_ref,  # SMEM [1, n_chunks, 4] f32 (per-candidate block)
-    base_ref,  # SMEM [NUM_PARTS] f32 — whole-frame target-only partials
     coeffs_ref,  # VMEM [1, N, 12] f32 (per-candidate block, planar coefs)
     qrange_ref,  # VMEM [1, N, 2] f32
     lids_ref,  # VMEM [N, 1] i32 (shared)
@@ -299,8 +298,10 @@ def _raster_error_kernel(
              + (correction on render-covered pixels only)
 
     e.g. ``sum(|t_masked - d*rm|) = sum(t_masked) + sum_rm(|t_masked-d| -
-    t_masked)`` — so the accumulator starts from the precomputed
-    candidate-independent frame totals (``base_ref``) and the tile loop
+    t_masked)`` — the kernel accumulates ONLY the corrections (the
+    candidate-independent frame totals are added by the caller, which
+    keeps every kernel operand either per-candidate or target-map-shaped
+    and the call vmappable over batched targets), and the tile loop
     visits ONLY tiles intersecting the candidate's silhouette bbox
     (dynamic trip count from ``gbbox_ref``), adding corrections where the
     render actually lands.  The robot covers a small fraction of the
@@ -320,12 +321,7 @@ def _raster_error_kernel(
     P = R * C
 
     def run(kacc, pacc):
-        base = jnp.stack(
-            [base_ref[i] for i in range(NUM_PARTS)]
-        ).reshape(1, 1, NUM_PARTS)
-        pacc[:] = jnp.pad(
-            base, ((0, 0), (0, 7), (0, _PARTS_LANES - NUM_PARTS))
-        )
+        pacc[:] = jnp.zeros((1, 8, _PARTS_LANES), jnp.float32)
 
         o0 = origin_ref[0]
         o1 = origin_ref[1]
@@ -548,7 +544,6 @@ def rasterize_error_pallas(
                 (1, n_chunks, 4), lambda b: (b, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, Np, 12), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -569,10 +564,14 @@ def rasterize_error_pallas(
         out_shape=jax.ShapeDtypeStruct((B, 8, _PARTS_LANES), jnp.float32),
         interpret=interpret,
     )(
-        origin, gbbox, chunk_bbox, base, coeffs.reshape(B, Np, 12), qrange,
+        origin, gbbox, chunk_bbox, coeffs.reshape(B, Np, 12), qrange,
         link_ids[:, None].astype(jnp.int32), tmask, tmasked, tdepth,
     )
-    return parts[:, 0, :NUM_PARTS]
+    # Candidate-independent frame totals are added OUTSIDE the kernel: a
+    # plain XLA add vmaps trivially when the target (and thus ``base``) is
+    # batched — a [k, NUM_PARTS] SMEM operand would not lower (Squeezed
+    # leading block, hypothesis/frame-batched stepwise paths).
+    return parts[:, 0, :NUM_PARTS] + base[None]
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))

@@ -862,8 +862,21 @@ class Predictor:
         if self.preview:
             self.viz.loadTargetColor(np.asarray(output))
             self.viz.loadTargetDepth(np.asarray(target_depth))
+            self.viz.loadSegmentedLinks(self._detected_links_image())
 
         return self._run_stages()
+
+    def _detected_links_image(self) -> np.ndarray:
+        """Per-link colored mask composite for the ProjectionViz 'Detected
+        Links' panel (reference predict.py:556-560 shows the segmenter's
+        per-class masks in the lower-left quadrant)."""
+        from ..config import DEFAULT_RENDER_COLORS
+
+        masks = np.asarray(self._target.masks)
+        img = np.zeros((*masks.shape[1:], 3), np.uint8)
+        for i in range(masks.shape[0]):
+            img[masks[i]] = DEFAULT_RENDER_COLORS[i + 1]
+        return img
 
     def _run_stages(self, batch: Optional[int] = None) -> np.ndarray:
         """Run the staged search; the only device->host transfer is the
@@ -999,7 +1012,15 @@ class Predictor:
         return np.asarray(state.angles, dtype=float)
 
     def _preview_state(self, state: SearchState) -> None:
-        self.renderer.setJointAngles(np.asarray(state.angles))
+        angles = np.asarray(state.angles)
+        if angles.ndim == 2:
+            # Hypothesis-batched search (lookup_topk > 1): preview the
+            # currently-best hypothesis.
+            errs = self.engine._evaluate_jit(6)(
+                jnp.asarray(angles), self.engine._w2c, self._target
+            )
+            angles = angles[int(np.argmin(np.asarray(errs)))]
+        self.renderer.setJointAngles(angles)
         color, depth = self.renderer.render()
         self.viz.loadRenderedColor(color)
         self.viz.loadRenderedDepth(depth)
