@@ -358,3 +358,70 @@ def test_fused_error_kernel_matches_link_error_interpret():
         d, l = rasterize(cands[b][0], cands[b][1], link_ids, h, w)
         e_ref = float(link_error(target, d, l, la))
         np.testing.assert_allclose(e_fused[b], e_ref, rtol=1e-5)
+
+
+def test_fused_error_kernel_vmap_batched_target_interpret():
+    """rasterize_error_pallas must vmap over a BATCHED TargetBundle.
+
+    The hypothesis-batched stepwise search and frame-batched prediction
+    vmap the eval over (candidates, target) together; with the frame
+    totals as a kernel operand this failed TPU lowering (Squeezed leading
+    SMEM block).  Guard the shape contract in interpret mode."""
+    import jax
+
+    from ropes3d_tpu.ops.error import TargetBundle
+    from ropes3d_tpu.ops.rasterizer import triangle_setup
+    from ropes3d_tpu.ops.rasterizer_pallas import rasterize_error_pallas
+
+    h, w = 24, 40
+    tris = np.array(
+        [
+            [[-1, -1, -2], [1, -1, -2], [0, 1, -2]],
+            [[-0.5, -0.5, -1.5], [0.5, -0.5, -1.5], [0, 0.7, -1.5]],
+        ],
+        np.float32,
+    )
+    link_ids = jnp.array([1, 2], jnp.int32)
+    valid = jnp.array([True, True])
+    fx = fy = 20.0
+    cx, cy = 20.0, 12.0
+
+    def setup(scale):
+        cam = transform_vertices(
+            jnp.asarray(tris) * scale, link_ids, jnp.stack([jnp.eye(4)] * 3),
+            jnp.eye(4),
+        )
+        return triangle_setup(cam, valid, fx, fy, cx, cy)
+
+    def make_target(scale):
+        c, q, _, _ = setup(scale)
+        d, l = rasterize(c, q, link_ids, h, w)
+        masks = jnp.stack([l == i for i in range(6)])
+        return TargetBundle(
+            masks,
+            (masks * d[None]).astype(jnp.float32),
+            masks.any(axis=(1, 2)),
+            d.astype(jnp.float32),
+        )
+
+    K = 3
+    targets = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[make_target(s) for s in (0.95, 1.0, 1.05)]
+    )
+    cands = [setup(s) for s in (0.9, 1.0, 1.1)]
+    coeffs = jnp.stack([c[0] for c in cands])  # [K, N, 4, 3]
+    qrange = jnp.stack([c[1] for c in cands])
+    vrange = jnp.stack([c[2] for c in cands])
+
+    def one(co, qr, vr, tgt):
+        return rasterize_error_pallas(
+            co[None], qr[None], vr[None], link_ids,
+            tgt.masks, tgt.masked_depth, tgt.depth, h, w, interpret=True,
+        )[0]
+
+    batched = jax.vmap(one)(coeffs, qrange, vrange, targets)
+    for k in range(K):
+        ref = one(coeffs[k], qrange[k], vrange[k],
+                  jax.tree.map(lambda x: x[k], targets))
+        np.testing.assert_allclose(np.asarray(batched[k]), np.asarray(ref),
+                                   rtol=1e-6)
