@@ -23,6 +23,7 @@ from datetime import datetime
 os.environ.setdefault("ROPES3D_ROOT", "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.environ["ROPES3D_ROOT"])
 
 import numpy as np
 

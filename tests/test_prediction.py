@@ -215,12 +215,59 @@ def test_fused_programs_trace(synth):
     assert bundle.masks.shape[0] == F
 
 
-def test_fused_recipe_matches_stepwise(synth):
+def test_fused_recipe_matches_stepwise(synth, monkeypatch):
     """The whole-recipe fused program (and its sharded-lookup split) must
-    reproduce the per-stage dispatch loop exactly."""
+    reproduce the per-stage dispatch loop exactly.
+
+    Uses a trimmed recipe that exercises every stage type (Lookup, SFlip,
+    Descent, InterpolativeSweep, TensorSweep, Polish) at ~1/5 the iteration
+    counts of the canonical SLU recipe — parity is structural, not
+    size-dependent, and the full-size recipe alone costs ~80 s of XLA:CPU
+    runtime (suite budget, VERDICT r2 item 6).  The canonical recipe's
+    fused-vs-stepwise parity runs in the slow lane
+    (test_fused_recipe_matches_stepwise_full_slu)."""
+    import ropes3d_tpu.prediction.predictor as pmod
+    from ropes3d_tpu.prediction import stages as st
+
+    trimmed = [
+        st.Lookup(),
+        st.SFlip(4),
+        st.Descent(4, 3, "SL", [0.05, 0.05, 0.1, 0.5, 0.5, 0.5],
+                   early_stop_thresh=0.1),
+        st.InterpolativeSweep(6, 6, "U"),
+        st.TensorSweep(6, 5, "S", 0.1),
+        st.Descent(6, 4, "SLU", early_stop_thresh=0.0075),
+        st.Polish(6, "SLU", radii=(0.003,)),
+    ]
+    monkeypatch.setattr(pmod, "getStages", lambda a: list(trimmed))
     pose = np.array([0.9, -0.5, 1.0, 0, 0, 0], np.float32)
     depth, lid = synth.renderer.render_batch_angles(pose[None])
     p = synth.predictor
+    p._synth_run_key = None  # drop the program built for the canonical recipe
+    try:
+        pred_fused = p.run_synthetic(depth[0], lid[0])
+        prep = p._prepare_synthetic_device()
+        res = prep(depth[0], lid[0])
+        p._target, p._tgt_lookup_crop = res[0], res[1]
+        p._fine_target = res[2] if len(res) > 2 else None
+        p._setStages()
+        pred_step = p._apply_fine_polish_host(p._run_stages_stepwise())
+    finally:
+        # The program cache key doesn't include the recipe; force a rebuild
+        # so later tests on this session-scoped predictor don't silently
+        # reuse the trimmed program.
+        p._synth_run_key = None
+    np.testing.assert_allclose(pred_fused, pred_step, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_recipe_matches_stepwise_full_slu(synth):
+    """Full canonical-SLU fused-vs-stepwise parity (~80 s XLA:CPU runtime;
+    the default-lane sibling covers the same property on a trimmed recipe)."""
+    pose = np.array([0.9, -0.5, 1.0, 0, 0, 0], np.float32)
+    depth, lid = synth.renderer.render_batch_angles(pose[None])
+    p = synth.predictor
+    p._synth_run_key = None
     pred_fused = p.run_synthetic(depth[0], lid[0])
     prep = p._prepare_synthetic_device()
     res = prep(depth[0], lid[0])
