@@ -62,6 +62,28 @@ def _load_stl_ascii(path: str) -> np.ndarray:
     return v.reshape(-1, 3, 3)
 
 
+def default_scene_tag(max_tris: Optional[int] = "default") -> str:
+    """Short identity of the mesh-processing pipeline a scene was built with.
+
+    Lookup tables and crop boxes are rendered FROM the packed scene, so
+    cached artifacts must be keyed by how that scene was produced —
+    decimator implementation (native QEM vs python vertex clustering) and
+    triangle budget — or a toolchain change (e.g. building ``csrc/``)
+    silently mismatches candidate geometry against cached targets and
+    accuracy drops.  Examples: ``qem256``, ``vc256``, ``full``.
+    """
+    if max_tris == "default":
+        from ..config import DEFAULT_MAX_TRIS_PER_LINK
+
+        max_tris = DEFAULT_MAX_TRIS_PER_LINK
+    if max_tris is None:
+        return "full"
+    from ..native import mesh_ops
+
+    kind = "qem" if mesh_ops.qem_available() else "vc"
+    return f"{kind}{int(max_tris)}"
+
+
 def decimate(tris: np.ndarray, target: int) -> np.ndarray:
     """Vertex-clustering decimation to roughly ``target`` triangles.
 
@@ -238,6 +260,11 @@ class MeshLoader:
             valid[i, : t.shape[0]] = True
         self.scene = PackedScene(verts, valid, list(self.name_list))
         MeshLoader._cache[key] = self.scene
+
+    @property
+    def scene_tag(self) -> str:
+        """Cache-key identity of this scene's mesh processing."""
+        return default_scene_tag(self.max_tris)
 
     @property
     def names(self) -> List[str]:

@@ -54,7 +54,15 @@ class Crop:
         import os
 
         os.makedirs(os.path.dirname(Paths().CROP_DATA), exist_ok=True)
-        name = f"{self.u_reader.name}/{list_to_str(camera_pose)}/{self.intrinsics}"
+        # Keyed by urdf/pose/intrinsics (reference crop.py:30-48 parity) plus
+        # the scene tag — crops are rendered from the packed scene, so a
+        # mesh-pipeline change must invalidate them (see default_scene_tag).
+        from ..robot.mesh import default_scene_tag
+
+        name = (
+            f"{self.u_reader.name}/{list_to_str(camera_pose)}/"
+            f"{self.intrinsics}/{default_scene_tag()}"
+        )
         create = False
         with h5py.File(Paths().CROP_DATA, "a") as f:
             if name not in f:

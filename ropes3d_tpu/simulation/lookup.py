@@ -33,6 +33,7 @@ from ..config import (
 from ..camera import Intrinsics
 from ..parallel.memory import lookup_budget_elements
 from ..robot import URDFReader
+from ..robot.mesh import default_scene_tag
 from ..utils import get_key, str_to_arr
 from .crop_cache import Crop
 from .renderer import Renderer
@@ -99,6 +100,7 @@ class RobotLookupCreator(Renderer):
             f.attrs["angles_changed"] = self.angles_to_do
             f.attrs["divisions"] = self.divisions
             f.attrs["urdf"] = self.u_reader.name
+            f.attrs["scene"] = self._loader.scene_tag
             f.create_dataset("angles", data=self.angles)
             f.create_dataset(
                 "depth", data=depth_arr, compression="gzip", compression_opts=1
@@ -137,6 +139,7 @@ class RobotLookupInfo:
                 tab[attr] = [int(x) for x in tab[attr]]
             tab["num_links_rendered"] = int(tab["num_links_rendered"])
             tab["urdf"] = str(tab["urdf"])
+            tab["scene"] = str(tab.get("scene", "legacy"))
 
         camera_poses = {x["pose"] for x in raw_tables.values()}
         pose_short = {
@@ -226,6 +229,10 @@ class RobotLookupManager(RobotLookupInfo):
                 if v["num_links_rendered"] == num_rendered_links
                 and np.all(np.array([x != 1 for x in v["divisions"]]) == varying)
                 and v["urdf"] == self.u_reader.name
+                # Scene identity: tables rendered with a different mesh
+                # pipeline (e.g. before/after building the native QEM
+                # decimator) would mismatch candidate geometry.
+                and v.get("scene", "legacy") == default_scene_tag()
             }
             if max_elements is not None:
                 acceptable = {

@@ -83,6 +83,34 @@ def test_lookup_registry_roundtrip(predict_root, synth):
     assert ang.shape[0] == 216
 
 
+def test_lookup_invalidated_by_scene_tag(predict_root, synth, monkeypatch):
+    """Tables rendered with a different mesh pipeline (e.g. after building
+    the native QEM decimator) must not match — candidate geometry would
+    diverge from the cached target renders (verify-skill gotcha, now keyed)."""
+    import ropes3d_tpu.simulation.lookup as lk
+
+    from ropes3d_tpu.config import Paths
+
+    lookup_dir = Paths().ROBOT_LOOKUPS
+
+    def count_tables():
+        return len(
+            [x for x in os.listdir(lookup_dir)
+             if x.endswith(".h5") and "crop" not in x]
+        )
+
+    lm = lk.RobotLookupManager()
+    n_before = count_tables()
+    monkeypatch.setattr(lk, "default_scene_tag", lambda *a: "othertag0")
+    ang2, _ = lm.get(
+        "640_480_color_16", CAM, 6, "SLU",
+        divisions=np.array([2, 2, 2, 1, 1, 1]),
+    )
+    n_after = count_tables()
+    assert n_after == n_before + 1, "scene-tag mismatch must force re-creation"
+    assert ang2.shape[0] == 8
+
+
 def test_crop_cache(predict_root, synth):
     from ropes3d_tpu.camera import Intrinsics
     from ropes3d_tpu.simulation.crop_cache import Crop, applyCrop
