@@ -7,7 +7,8 @@ rectangle carries a real depth, so the depth channel is cluttered (and
 can occlude the robot) exactly as the RGB channel is — an RGB-D
 segmenter gets no free geometric giveaway.
 
-Usage: python assets/bench_cluttered.py [n_frames] [run|run_real]
+Usage: python assets/bench_cluttered.py [n_frames] [run|run_real] [topk]
+(topk defaults to the Predictor default: staged top-k 4; pass 1 or 'auto')
 """
 import os, sys, time
 os.environ["ROPES3D_ROOT"] = "/root/repo"
@@ -59,8 +60,10 @@ def cluttered_scene(robot_color, robot_depth):
     return np.clip(img, 0, 255), dep
 
 lane = sys.argv[2] if len(sys.argv) > 2 else "run_real"
+topk = sys.argv[3] if len(sys.argv) > 3 else 4
+topk = topk if topk == "auto" else int(topk)
 p = Predictor(cam, 8, do_angles="SLU", base_intrin="1280_720_color",
-              model_ds="bootstrap", lookup_topk=1)
+              model_ds="bootstrap", lookup_topk=topk)
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 errs, times = [], []
 for i in range(n):
@@ -79,7 +82,7 @@ for i in range(n):
         print(f"{i+1}/{n}", flush=True)
 errs = np.array(errs)
 seg_id = os.path.basename(os.path.dirname(getattr(p.seg, "ckpt_path", "?")))
-print(f"cluttered real-seg e2e ({seg_id} {lane}):")
+print(f"cluttered real-seg e2e ({seg_id} {lane} topk={topk}):")
 print(f"  latency p50 {np.percentile(times[1:], 50):.0f} ms, p90 {np.percentile(times[1:], 90):.0f}")
 print(f"  err median {np.median(errs):.3f} deg, p90 {np.percentile(errs, 90):.3f}, max {errs.max():.1f}")
 seg_t = []

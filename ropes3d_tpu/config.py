@@ -67,6 +67,18 @@ ESCAPE_TOPK = 4
 # gap for one extra final-descent lane.
 TOPK_FINAL = 2
 
+# Depth gating (neural target prep only): real/cluttered depth frames carry
+# valid range values *everywhere*, so segmentation-mask spill (the dilate-8
+# body closure) and occluders inside a detection pull the depth-error terms
+# toward clutter.  Gate masked depth against the mask's median: pixels more
+# than the half-window from the median zero out (zero depth is already
+# ignored by every error formula, ops/error.py).  BODY gates the union/body
+# closure (kills background-plane spill); LINK gates each link's bundle
+# slice (kills most foreground occluder pixels).  Synthetic prep is exact
+# link-id masks over robot-only depth — never gated (bit-parity).
+DEPTH_GATE_BODY = 1.2  # m, half-window around the body median
+DEPTH_GATE_LINK = 0.45  # m, half-window around each link's median
+
 # Fine-polish pass: after the staged recipe, a pattern search evaluated at
 # FINE_POLISH_SCALE x the working resolution (target prepared at the same
 # scale inside the fused program).  The working-res error landscape

@@ -76,6 +76,27 @@ def close_mask(mask: jnp.ndarray, dilate_by: int = 8, erode_by: int = 7) -> jnp.
     return erode(dilate(mask.astype(jnp.float32), dilate_by), erode_by) > 0
 
 
+def gate_depth(
+    mask: jnp.ndarray, depth: jnp.ndarray, half_window: float
+) -> jnp.ndarray:
+    """Zero depth pixels inside ``mask`` that deviate from the mask's median
+    masked depth by more than ``half_window`` metres.
+
+    Robust occluder / mask-spill rejection for *real* depth frames: clutter
+    carries valid range values, so a dilated segmentation mask (or an
+    occluder inside a detection) feeds wrong depths into the error terms.
+    Zero depth is ignored by every error formula (ops/error.py
+    ``_safe_mean_nonzero``), so gating to 0 reproduces the clean-background
+    behavior.  An empty mask passes depth through unchanged.  Traceable
+    (static shapes; median via sort with +inf padding).
+    """
+    vals = jnp.where(mask & (depth > 0), depth, jnp.inf)
+    cnt = jnp.sum(jnp.isfinite(vals))
+    med = jnp.sort(vals.ravel())[jnp.maximum((cnt - 1) // 2, 0)]
+    ok = (jnp.abs(depth - med) <= half_window) | (cnt == 0)
+    return jnp.where(ok, depth, 0.0)
+
+
 def paste_box_masks(
     masks: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray,
     h: int, w: int,

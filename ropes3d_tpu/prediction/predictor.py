@@ -23,6 +23,8 @@ import numpy as np
 
 from ..config import (
     DEFAULT_CAMERA_POSE,
+    DEPTH_GATE_BODY,
+    DEPTH_GATE_LINK,
     ESCAPE_CONF_THRESH,
     ESCAPE_TOPK,
     LOOKUP_JOINTS,
@@ -506,10 +508,12 @@ class Predictor:
         this path replaces its cv2 box resizes with the equivalent bilinear
         sampling (same (x+0.5)*src/dst-0.5 convention).
         """
+        from ..config import DEPTH_GATE_BODY, DEPTH_GATE_LINK
         from ..config import LOOKUP_NUM_RENDERED as LN
         from ..models.inference import IMAGENET_MEAN, IMAGENET_STD
         from ..ops.image import close_mask as close
         from ..ops.image import downsample as ds
+        from ..ops.image import gate_depth
 
         f = self.ds_factor
         seg = self.seg
@@ -564,14 +568,20 @@ class Predictor:
             link_masks = jax.vmap(link_mask)(jnp.arange(6))  # [6, h, w]
             union = link_masks.any(axis=0)
             body = close(union, 8, 7)
-            tgt_depth = depth * body
+            # Depth gates (config.DEPTH_GATE_*): real frames carry clutter
+            # depth everywhere, so the dilated body closure and in-mask
+            # occluders otherwise leak wrong depths into the error terms.
+            tgt_depth = gate_depth(body, depth, DEPTH_GATE_BODY) * body
             lsel = jnp.asarray(link_is_lookup)
             lookup_union = (link_masks & lsel[:, None, None]).any(axis=0)
             lbody = close(lookup_union, 8, 7)
             lookup_depth = tgt_depth * lbody
             present = link_masks.any(axis=(1, 2))
+            link_depth = jax.vmap(
+                lambda m: gate_depth(m, tgt_depth, DEPTH_GATE_LINK)
+            )(link_masks)
             bundle = TargetBundle(
-                link_masks, link_masks * tgt_depth[None], present, tgt_depth
+                link_masks, link_masks * link_depth, present, tgt_depth
             )
             tgt_crop = lookup_depth[
                 crop[0] : crop[1] + 1, crop[2] : crop[3] + 1
@@ -596,9 +606,18 @@ class Predictor:
 
             flink_masks = jax.vmap(flink_mask)(jnp.arange(6))
             fbody = close(flink_masks.any(axis=0), 8 * sc, 7 * sc)
-            fdepth = ds(depth_full, f // sc).astype(jnp.float32) * fbody
+            fdepth = (
+                gate_depth(
+                    fbody, ds(depth_full, f // sc).astype(jnp.float32),
+                    DEPTH_GATE_BODY,
+                )
+                * fbody
+            )
+            flink_depth = jax.vmap(
+                lambda m: gate_depth(m, fdepth, DEPTH_GATE_LINK)
+            )(flink_masks)
             fine_t = TargetBundle(
-                flink_masks, flink_masks * fdepth[None],
+                flink_masks, flink_masks * flink_depth,
                 flink_masks.any(axis=(1, 2)), fdepth,
             )
             return bundle, tgt_crop.astype(jnp.float32), fine_t
@@ -768,7 +787,15 @@ class Predictor:
             # depth (dilate-8/erode-7 already applied there).
             body8 = np.asarray(self._target.depth) > 0
             body = np.repeat(np.repeat(body8, sc, axis=0), sc, axis=1)
-            depth = fdepth * body
+            depth = self._gate_np(body, fdepth, DEPTH_GATE_BODY) * body
+            masked = np.stack([
+                m * self._gate_np(m, depth, DEPTH_GATE_LINK) for m in masks
+            ])
+            return TargetBundle(
+                jnp.asarray(masks), jnp.asarray(masked, jnp.float32),
+                jnp.asarray(masks.any(axis=(1, 2))),
+                jnp.asarray(depth, jnp.float32),
+            )
         return TargetBundle(
             jnp.asarray(masks), jnp.asarray(masks * depth[None], jnp.float32),
             jnp.asarray(masks.any(axis=(1, 2))),
@@ -803,6 +830,15 @@ class Predictor:
         )
         return target_color, target_depth, lookup_depth
 
+    @staticmethod
+    def _gate_np(mask, depth, half_window):
+        """Host mirror of ops.image.gate_depth (lower median, same window)."""
+        vals = np.sort(depth[mask & (depth > 0)])
+        if vals.size == 0:
+            return depth
+        med = vals[(vals.size - 1) // 2]
+        return np.where(np.abs(depth - med) <= half_window, depth, 0.0)
+
     def _segmentLoad(self, target_color, target_depth):
         """Mask R-CNN segmentation -> per-link masks (predict.py:415-442)."""
         self._fine_target = None  # callers rebuild it (stale-guard)
@@ -811,12 +847,17 @@ class Predictor:
         dep = target_depth if self.seg.cfg.in_channels == 4 else None
         seg_data, output = self.seg.segment(color_ds, dep)
 
-        # Robot-body isolation: union of masks, dilate(8)/erode(7).
+        # Robot-body isolation: union of masks, dilate(8)/erode(7), then the
+        # body depth gate (config.DEPTH_GATE_BODY) — real frames carry
+        # clutter depth everywhere, so the dilated closure otherwise leaks
+        # background depth into the error terms.
         union = np.zeros(target_depth.shape, bool)
         for k in seg_data:
             union |= seg_data[k]["mask"]
         body = np.asarray(close_mask(jnp.asarray(union), 8, 7))
-        target_depth = target_depth * body.astype(float)
+        target_depth = self._gate_np(
+            body, target_depth, DEPTH_GATE_BODY
+        ) * body.astype(float)
 
         lookup_depth = target_depth.copy()
         union = np.zeros(target_depth.shape, bool)
@@ -830,7 +871,9 @@ class Predictor:
         for link in self.link_names:
             if link in seg_data:
                 masks[link] = seg_data[link]["mask"]
-                masked[link] = seg_data[link]["mask"] * target_depth
+                masked[link] = seg_data[link]["mask"] * self._gate_np(
+                    seg_data[link]["mask"], target_depth, DEPTH_GATE_LINK
+                )
 
         self._target = self._build_bundle(masks, masked, target_depth)
         self._tgt_lookup_crop = jnp.asarray(

@@ -403,3 +403,42 @@ def test_fused_recipe_matches_stepwise_full_slu(synth):
     p._setStages()
     pred_step = p._apply_fine_polish_host(p._run_stages_stepwise())
     np.testing.assert_allclose(pred_fused, pred_step, atol=1e-5)
+
+
+def test_depth_gate_rejects_occluders_and_spill():
+    """gate_depth zeroes in-mask pixels whose depth deviates from the mask's
+    median beyond the half-window (occluder rectangles, mask-spill onto the
+    background plane) and matches the host mirror bit-for-bit."""
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.ops.image import gate_depth
+    from ropes3d_tpu.prediction.predictor import Predictor
+
+    rng = np.random.default_rng(0)
+    h, w = 24, 32
+    depth = np.full((h, w), 4.0, np.float32)      # background plane
+    mask = np.zeros((h, w), bool)
+    mask[4:20, 6:26] = True
+    depth[4:20, 6:26] = rng.uniform(1.4, 1.7, (16, 20))  # robot link
+    depth[10:14, 10:14] = 0.6                     # occluder inside the mask
+    depth[4:20, 24:26] = 4.0                      # spill onto the plane
+    depth[6, 7] = 0.0                             # sensor hole
+
+    out = np.asarray(gate_depth(jnp.asarray(mask), jnp.asarray(depth), 0.45))
+    assert (out[10:14, 10:14] == 0).all()         # occluder gated
+    assert (out[4:20, 24:26] == 0).all()          # plane spill gated
+    assert (out[5:9, 7:9] == depth[5:9, 7:9]).all()  # link depth kept
+    assert out[6, 7] == 0.0                       # hole stays a hole
+
+    host = Predictor._gate_np(mask, depth, 0.45)
+    np.testing.assert_array_equal(out, host)
+
+    # Empty mask: pass-through (no median to gate against).
+    empty = np.zeros((h, w), bool)
+    np.testing.assert_array_equal(
+        np.asarray(gate_depth(jnp.asarray(empty), jnp.asarray(depth), 0.45)),
+        depth,
+    )
+    np.testing.assert_array_equal(
+        Predictor._gate_np(empty, depth, 0.45), depth
+    )
