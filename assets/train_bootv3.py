@@ -29,17 +29,17 @@ import numpy as np
 
 
 def register(out_dir: str, steps_done: int, iou_notes: str) -> None:
-    """Add/refresh the bootv3 entry in models.json (ModelManager format)."""
-    from ropes3d_tpu.config import Paths
-    from ropes3d_tpu.robot import URDFReader
+    """Write bootv3's per-dir ModelData.json and refresh models.json.
 
-    mj = os.path.join(Paths().MODELS, "models.json")
-    data = {}
-    if os.path.isfile(mj):
-        with open(mj) as f:
-            data = json.load(f)
+    ModelData.json is the canonical registry source — ModelInfo.update()
+    rebuilds models.json from the per-model files and DROPS any directory
+    without one, so writing models.json alone is not a registration."""
+    from ropes3d_tpu.robot import URDFReader
+    from ropes3d_tpu.training.model_registry import ModelData, ModelInfo
+
     urdf = URDFReader()
-    data["bootv3"] = {
+    md = ModelData(out_dir)
+    md.data = {
         "id": "bootv3",
         "dataset": "bootstrap",
         "classes": ["BG"] + urdf.mesh_names[:6],
@@ -53,12 +53,9 @@ def register(out_dir: str, steps_done: int, iou_notes: str) -> None:
             f"model, camera-distance scale aug 0.62-1.1). {iou_notes} "
             f"Fine-tune on real RGB-D captures via train.py -cont_from bootv3."
         ),
-        "path": out_dir,
     }
-    tmp = mj + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(data, f, indent=4)
-    os.replace(tmp, mj)
+    md.write()
+    ModelInfo()  # rebuild models.json (prunes old ckpts too)
 
 
 def evaluate(out_dir: str) -> str:
