@@ -62,8 +62,18 @@ def cluttered_scene(robot_color, robot_depth):
 lane = sys.argv[2] if len(sys.argv) > 2 else "run_real"
 topk = sys.argv[3] if len(sys.argv) > 3 else 4
 topk = topk if topk == "auto" else int(topk)
+model_id = sys.argv[4] if len(sys.argv) > 4 else None
+if model_id:  # pin a specific segmenter (A/B runs); default = dynamicLoad
+    from ropes3d_tpu.training.model_registry import ModelManager
+    from ropes3d_tpu.models.inference import Segmenter
 p = Predictor(cam, 8, do_angles="SLU", base_intrin="1280_720_color",
               model_ds="bootstrap", lookup_topk=topk)
+if model_id:
+    p.seg = Segmenter(ModelManager().dynamicLoad(id=model_id),
+                      class_names=p.classes)
+    for a in ("_real_run_key", "_real_prep"):  # drop fused-lane caches
+        if hasattr(p, a):
+            delattr(p, a)
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 errs, times = [], []
 for i in range(n):
@@ -85,6 +95,10 @@ seg_id = os.path.basename(os.path.dirname(getattr(p.seg, "ckpt_path", "?")))
 print(f"cluttered real-seg e2e ({seg_id} {lane} topk={topk}):")
 print(f"  latency p50 {np.percentile(times[1:], 50):.0f} ms, p90 {np.percentile(times[1:], 90):.0f}")
 print(f"  err median {np.median(errs):.3f} deg, p90 {np.percentile(errs, 90):.3f}, max {errs.max():.1f}")
+np.save("/tmp/clut_errs.npy", errs)
+bad = np.where(errs.max(axis=1) > 2.0)[0]
+print(f"  frames with max err > 2 deg: {len(bad)}/{len(errs)} -> "
+      + " ".join(f"{i}:{errs[i].max():.0f}" for i in bad))
 seg_t = []
 from ropes3d_tpu.ops.image import downsample
 import jax.numpy as jnp

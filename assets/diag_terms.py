@@ -57,8 +57,8 @@ p = Predictor(cam, 8, do_angles="SLU", base_intrin="1280_720_color",
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
 
 import jax
-render = p.engine._render_fn(6)
-w2c = jnp.asarray(p.engine.w2c, jnp.float32)
+render = jax.jit(p.engine._render_fn(6))
+w2c = p.engine._w2c
 
 for i in range(n):
     pose = rng.uniform(lim[:, 0], lim[:, 1]) * np.array([1, 1, 1, 0, 0, 0])
@@ -67,9 +67,9 @@ for i in range(n):
     img, d = cluttered_scene(np.asarray(color, float), depth)
     img = img.astype(np.uint8)
     d = noise.holes(d)
-    # Production target prep (host path).
-    tc, td, ld = p._prep_targets(img, d)
-    p._segmentLoad(tc, td)
+    # Production target prep (host path, as run() does it).
+    td = p._downsample(np.asarray(d, np.float32), p.ds_factor)
+    p._segmentLoad(img, td)
     tgt = p._target
     # True-pose render at working res.
     rd, rl = render(jnp.asarray(pose, jnp.float32)[None], w2c)

@@ -79,6 +79,17 @@ TOPK_FINAL = 2
 DEPTH_GATE_BODY = 1.2  # m, half-window around the body median
 DEPTH_GATE_LINK = 0.45  # m, half-window around each link's median
 
+# Robust depth-residual truncation (neural target prep only): every depth
+# residual in the candidate error is clipped at min(|diff|, tau) meters.
+# With imperfect segmenter masks the parity depth term is dominated by
+# mask-xor pixels each contributing full depth magnitude (~1.5-2 m x10) —
+# a pose-independent error floor ~50x the pose signal (measured
+# err(true) ~= err(80-deg-wrong) on cluttered frames, assets/diag_terms.py).
+# Truncation makes the term scale with xor *count* (pose geometry) while
+# keeping small true residuals exact.  Synthetic/parity paths never
+# truncate (tau=None -> +inf in the kernels, bit-exact reference formula).
+ERROR_ROBUST_TAU = 0.1  # m
+
 # Fine-polish pass: after the staged recipe, a pattern search evaluated at
 # FINE_POLISH_SCALE x the working resolution (target prepared at the same
 # scale inside the fused program).  The working-res error landscape

@@ -55,6 +55,7 @@ def link_error(
     render_link_id: jnp.ndarray,  # [H, W] int32, -1 background
     link_active: jnp.ndarray,  # [6] bool — links scored (reference
     #   link_names[1:num_joints]; index 0/base never scored)
+    tau: float | jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Scalar visual+depth error of one render vs the target frame.
 
@@ -62,8 +63,20 @@ def link_error(
       per active+present link:  mean(seg_mask != render_mask) * 5
         + (if >=5% of mask pixels have depth) mean_nonzero(|d_tgt - d_rnd|) * 10
       global:  mean_nonzero(|depth diff|) * std(|depth diff|)
+
+    ``tau`` (meters) truncates every depth residual at ``min(|diff|, tau)``
+    — the robust mode for neural-segmented targets.  With imperfect masks
+    the parity depth term is dominated by mask-xor pixels contributing the
+    full depth magnitude (~1.5-2 m each x10), a pose-independent floor
+    ~50x the pose signal (measured: err(true pose) ~= err(80-deg-wrong
+    pose) on cluttered frames, assets/diag_terms.py).  Truncation caps
+    each xor pixel at tau so the term scales with xor *count* (pose
+    geometry) instead of depth magnitude, while small true residuals stay
+    exact.  ``tau=None``/inf is bit-exact reference parity.
     """
     render_depth = render_depth.astype(jnp.float32)
+    robust = tau is not None
+    tau = jnp.float32(jnp.inf if tau is None else tau)
 
     # Vectorised over the link axis (indices 1..5; base never scored) —
     # one fused pass instead of per-link kernels, which matters inside the
@@ -81,14 +94,24 @@ def link_error(
     )
     adiff = jnp.abs(target_masked - render_masked)
     nz = adiff != 0
+    adiff = jnp.minimum(adiff, tau)
     cnt = jnp.sum(nz, axis=(1, 2))
     mean_nz = jnp.sum(jnp.where(nz, adiff, 0.0), axis=(1, 2)) / jnp.maximum(cnt, 1)
     depth_errs = jnp.where(enough_depth & (cnt > 0), mean_nz * 10.0, 0.0)
 
     err = jnp.sum(jnp.where(score, mask_errs + depth_errs, 0.0))
 
-    diff = jnp.abs(target.depth - render_depth)
-    err += _safe_mean_nonzero(diff) * jnp.std(diff)
+    diff = jnp.minimum(jnp.abs(target.depth - render_depth), tau)
+    if robust:
+        # Sum-form global term: mean-over-nonzero saturates at tau once
+        # every residual exceeds it, and the parity std factor then
+        # COLLAPSES (std of a near-constant field -> 0), actively rewarding
+        # grossly wrong poses — catastrophic on frames where no links were
+        # detected and the global term is the only signal.  sum/P is
+        # monotone in both disagreement area and (capped) magnitude.
+        err += jnp.sum(diff) / float(diff.shape[0] * diff.shape[1])
+    else:
+        err += _safe_mean_nonzero(diff) * jnp.std(diff)
     return err
 
 
@@ -98,9 +121,10 @@ def link_error_batch(
     render_depth: jnp.ndarray,  # [B, H, W]
     render_link_id: jnp.ndarray,  # [B, H, W]
     link_active: jnp.ndarray,  # [6]
+    tau: float | jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Vmapped link_error over a candidate batch: -> err [B]."""
-    return jax.vmap(lambda d, l: link_error(target, d, l, link_active))(
+    return jax.vmap(lambda d, l: link_error(target, d, l, link_active, tau))(
         render_depth, render_link_id
     )
 
@@ -110,6 +134,7 @@ def link_error_from_parts(
     target: TargetBundle,
     link_active: jnp.ndarray,  # [6] bool
     num_pixels: int,
+    tau: float | None = None,
 ) -> jnp.ndarray:
     """Assemble the exact reference error from fused-kernel partial sums.
 
@@ -135,20 +160,32 @@ def link_error_from_parts(
     depth_errs = jnp.where(enough[None] & (c_ad > 0), mean_nz * 10.0, 0.0)
     err = jnp.sum(jnp.where(score[None], mask_errs + depth_errs, 0.0), axis=1)
 
+    if tau is not None:
+        # Robust mode (kernel already truncated sd at tau): sum-form global
+        # term — see link_error for why mean*std breaks under truncation.
+        return err + sd / P
     gmean = jnp.where(cd > 0, sd / jnp.maximum(cd, 1.0), 0.0)
     gstd = jnp.sqrt(jnp.maximum(sd2 / P - (sd / P) ** 2, 0.0))
     return err + gmean * gstd
 
 
-def empty_render_error(target: TargetBundle, link_active: jnp.ndarray) -> jnp.ndarray:
+def empty_render_error(
+    target: TargetBundle,
+    link_active: jnp.ndarray,
+    tau: float | jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """The error an *empty* render scores against this target.
 
     Every term of :func:`link_error` reduces to a target-only statistic
     when the render covers nothing.  Used as the normaliser for the
     wrong-basin confidence signal: a converged fit's error is a small
     fraction of this; a wrong-basin fit stays a large fraction (the
-    adaptive top-k escape in the predictor keys off the ratio).
+    adaptive top-k escape in the predictor keys off the ratio).  ``tau``
+    must match the evaluator's robust truncation so the ratio is
+    comparable.
     """
+    robust = tau is not None
+    tau = jnp.float32(jnp.inf if tau is None else tau)
     P = float(target.depth.shape[0] * target.depth.shape[1])
     score = link_active[1:] & target.present[1:]
     tm = target.masks[1:]
@@ -156,10 +193,16 @@ def empty_render_error(target: TargetBundle, link_active: jnp.ndarray) -> jnp.nd
     mask_errs = jnp.sum(tm, axis=(1, 2)) / P * 5.0
     tgt_nz = jnp.sum(tmasked != 0, axis=(1, 2))
     enough = tgt_nz > 0.05 * jnp.sum(tm, axis=(1, 2))
-    mean_nz = jnp.sum(jnp.abs(tmasked), axis=(1, 2)) / jnp.maximum(tgt_nz, 1)
+    mean_nz = jnp.sum(
+        jnp.minimum(jnp.abs(tmasked), tau), axis=(1, 2)
+    ) / jnp.maximum(tgt_nz, 1)
     depth_errs = jnp.where(enough & (tgt_nz > 0), mean_nz * 10.0, 0.0)
     err = jnp.sum(jnp.where(score, mask_errs + depth_errs, 0.0))
-    err += _safe_mean_nonzero(target.depth) * jnp.std(target.depth)
+    tdep = jnp.minimum(target.depth, tau)
+    if robust:
+        err += jnp.sum(tdep) / P
+    else:
+        err += _safe_mean_nonzero(tdep) * jnp.std(tdep)
     return err
 
 

@@ -273,7 +273,7 @@ ERR_TILE_R = 8  # row-tile height of the fused-error kernel's inner loop
 
 
 def _raster_error_kernel(
-    origin_ref,  # SMEM [2] f32
+    origin_ref,  # SMEM [3] f32 — row0, col0, tau (residual truncation)
     gbbox_ref,  # SMEM [1, 1, 4] f32 — per-candidate silhouette bbox
     chunk_bbox_ref,  # SMEM [1, n_chunks, 4] f32 (per-candidate block)
     coeffs_ref,  # VMEM [1, N, 12] f32 (per-candidate block, planar coefs)
@@ -325,6 +325,7 @@ def _raster_error_kernel(
 
         o0 = origin_ref[0]
         o1 = origin_ref[1]
+        tau = origin_ref[2]  # +inf = exact reference parity
         vmin = gbbox_ref[0, 0, 0]
         vmax = gbbox_ref[0, 0, 1]
         umin = gbbox_ref[0, 0, 2]
@@ -406,7 +407,12 @@ def _raster_error_kernel(
             for li, rmf in zip(range(1, 6), rms):
                 a = tmasked_ref[li, rs_, cs_]
                 ad = jnp.abs(a - depth)
-                corr.append(jnp.sum(rmf * (ad - a)))
+                # Truncated residuals (robust mode; tau=inf is parity):
+                # sum(min(|t-d*rm|,tau)) = sum(min(t,tau)) [in base]
+                #   + sum_rm(min(|t-d|,tau) - min(t,tau)).
+                corr.append(
+                    jnp.sum(rmf * (jnp.minimum(ad, tau) - jnp.minimum(a, tau)))
+                )
             for li, rmf in zip(range(1, 6), rms):
                 a = tmasked_ref[li, rs_, cs_]
                 ad = jnp.abs(a - depth)
@@ -421,7 +427,8 @@ def _raster_error_kernel(
                 )
             t = tdepth_ref[rs_, cs_]
             d = jnp.abs(t - depth)
-            corr.append(jnp.sum(hitf * (d - t)))
+            dt_, tt_ = jnp.minimum(d, tau), jnp.minimum(t, tau)
+            corr.append(jnp.sum(hitf * (dt_ - tt_)))
             corr.append(
                 jnp.sum(
                     hitf
@@ -431,7 +438,7 @@ def _raster_error_kernel(
                     )
                 )
             )
-            corr.append(jnp.sum(hitf * (d * d - t * t)))
+            corr.append(jnp.sum(hitf * (dt_ * dt_ - tt_ * tt_)))
 
             vec = jnp.stack(corr).reshape(1, 1, NUM_PARTS)
             vec = jnp.pad(
@@ -463,6 +470,7 @@ def rasterize_error_pallas(
     w: int,
     row0=0,
     col0=0,
+    tau=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused render-and-reduce: -> error partials [B, NUM_PARTS].
@@ -473,8 +481,14 @@ def rasterize_error_pallas(
     kernels, and issues exactly ONE grid program per candidate — the eval
     inside descent loops collapses to a single cheap launch.
 
+    ``tau`` truncates depth residuals at ``min(|diff|, tau)`` (robust mode
+    for neural-segmented targets, see ops.error.link_error); ``None`` is
+    bit-exact reference parity (internally +inf — every ``min`` is then an
+    identity).
+
     Sized for working resolutions (padded width <= 512); callers fall back
     to rasterize + link_error beyond that."""
+    tau = jnp.float32(jnp.inf if tau is None else tau)
     coeffs, qrange, vrange, link_ids = _pad_tris(
         coeffs, qrange, vrange, link_ids, chunk=ERR_CHUNK
     )
@@ -512,17 +526,21 @@ def rasterize_error_pallas(
     # an empty render.  The kernel starts its accumulator here and adds
     # corrections only where the candidate's silhouette lands — candidate-
     # independent, computed once per eval call.
+    tdep_t = jnp.minimum(tdepth, tau)
     base = jnp.stack(
         [jnp.sum(tmask[li]) for li in range(1, 6)]
-        + [jnp.sum(jnp.abs(tmasked[li])) for li in range(1, 6)]
+        + [
+            jnp.sum(jnp.minimum(jnp.abs(tmasked[li]), tau))
+            for li in range(1, 6)
+        ]
         + [
             jnp.sum((tmasked[li] != 0.0).astype(jnp.float32))
             for li in range(1, 6)
         ]
         + [
-            jnp.sum(tdepth),
+            jnp.sum(tdep_t),
             jnp.sum((tdepth != 0.0).astype(jnp.float32)),
-            jnp.sum(tdepth * tdepth),
+            jnp.sum(tdep_t * tdep_t),
         ],
     )  # [NUM_PARTS]
 
@@ -530,7 +548,7 @@ def rasterize_error_pallas(
         _raster_error_kernel, n_chunks=n_chunks, h=h, w=w, hp=hp, wp=wp
     )
     origin = jnp.asarray(
-        [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]
+        [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32), tau]
     )
     parts = pl.pallas_call(
         kernel,

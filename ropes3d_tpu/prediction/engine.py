@@ -118,7 +118,14 @@ class CandidateEvaluator:
         min_ang_inc: np.ndarray = None,
         max_tris_per_link: int = None,
         urdf: URDFReader = None,
+        robust_tau: float = None,
     ):
+        # Depth-residual truncation (meters) for every candidate eval; None
+        # = exact reference parity.  Neural-segmented targets need it: with
+        # imperfect masks the parity depth term is a pose-independent floor
+        # (see ops.error.link_error).  Fixed at construction — the compiled
+        # stage programs bake it in (lru caches would go stale otherwise).
+        self.robust_tau = None if robust_tau is None else float(robust_tau)
         self.u_reader = urdf or URDFReader()
         self.intrinsics = intrinsics
         self.h, self.w = intrinsics.height, intrinsics.width
@@ -219,6 +226,8 @@ class CandidateEvaluator:
             # device pull can cost minutes on a degraded remote transport.
             fx, fy, cx, cy = (x * scale for x in self._intrin_tuple)
 
+            tau = self.robust_tau
+
             def eval_batch(angles, w2c, target: TargetBundle):
                 poses = fk(angles)[:, :L]
 
@@ -230,19 +239,21 @@ class CandidateEvaluator:
                 parts = rasterize_error_pallas(
                     coeffs, qrange, vrange, ids.astype(jnp.int32),
                     target.masks, target.masked_depth, target.depth, h, w,
+                    tau=tau,
                 )
                 return link_error_from_parts(
-                    parts, target, jnp.asarray(link_active), h * w
+                    parts, target, jnp.asarray(link_active), h * w, tau
                 )
 
             return eval_batch
 
         render = self._render_fn(to_render, scale)
+        tau = self.robust_tau
 
         def eval_batch(angles, w2c, target: TargetBundle):
             depth, lid = render(angles, w2c)
             la = jnp.asarray(link_active)
-            return jax.vmap(lambda d, l: link_error(target, d, l, la))(
+            return jax.vmap(lambda d, l: link_error(target, d, l, la, tau))(
                 depth, lid
             )
 
@@ -917,7 +928,9 @@ class CandidateEvaluator:
             an EMPTY render would score on this target (converged fits sit at
             a small fraction; wrong basins stay large — the predictor's
             adaptive top-k escape keys off this, VERDICT r2 item 5)."""
-            base = empty_render_error(target, jnp.asarray(la_final))
+            base = empty_render_error(
+                target, jnp.asarray(la_final), self.robust_tau
+            )
             return err / jnp.maximum(base, 1e-9)
 
         def finish(angles, w2c, target):

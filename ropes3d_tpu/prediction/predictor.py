@@ -25,6 +25,7 @@ from ..config import (
     DEFAULT_CAMERA_POSE,
     DEPTH_GATE_BODY,
     DEPTH_GATE_LINK,
+    ERROR_ROBUST_TAU,
     ESCAPE_CONF_THRESH,
     ESCAPE_TOPK,
     LOOKUP_JOINTS,
@@ -73,6 +74,7 @@ class Predictor:
         search_mode: str = "parity",
         lookup_topk=4,
         fine_polish: bool = True,
+        robust_tau: float = "auto",
     ):
         """``search_mode``: 'parity' (default) replays the reference's
         sequential per-joint descent exactly; 'fast' batches each descent
@@ -140,8 +142,16 @@ class Predictor:
                 )
             self.seg = Segmenter(ckpt, class_names=self.classes)
 
+        # Robust depth-residual truncation for neural-segmented targets
+        # (config.ERROR_ROBUST_TAU rationale); the synthetic path keeps
+        # exact reference parity (its masks are exact, the parity formula
+        # is already well-conditioned there).
+        if robust_tau == "auto":
+            robust_tau = None if self.synthetic else ERROR_ROBUST_TAU
+        self.robust_tau = robust_tau
         self.engine = CandidateEvaluator(
-            camera_pose, self.intrinsics, min_angle_inc, urdf=self.u_reader
+            camera_pose, self.intrinsics, min_angle_inc, urdf=self.u_reader,
+            robust_tau=robust_tau,
         )
         self.crops = Crop(camera_pose, self.intrinsics)
 

@@ -359,6 +359,33 @@ def test_fused_error_kernel_matches_link_error_interpret():
         e_ref = float(link_error(target, d, l, la))
         np.testing.assert_allclose(e_fused[b], e_ref, rtol=1e-5)
 
+    # Robust truncation mode: kernel tau == XLA-fallback tau, and a finite
+    # tau must actually change the result on a target with large residuals
+    # (otherwise the threading is dead code).
+    tau = 0.05
+    parts_t = rasterize_error_pallas(
+        coeffs, qrange, vrange, link_ids,
+        target.masks, target.masked_depth, target.depth, h, w, tau=tau,
+        interpret=True,
+    )
+    e_fused_t = np.asarray(
+        link_error_from_parts(parts_t, target, la, h * w, tau)
+    )
+    changed = False
+    for b in range(2):
+        d, l = rasterize(cands[b][0], cands[b][1], link_ids, h, w)
+        e_ref_t = float(link_error(target, d, l, la, tau))
+        np.testing.assert_allclose(e_fused_t[b], e_ref_t, rtol=1e-5)
+        changed |= abs(e_ref_t - e_fused[b]) > 1e-6
+    assert changed, "tau=0.05 should alter the error on mismatched scales"
+    # tau=inf is bit-identical to the parity (tau=None) path.
+    parts_inf = rasterize_error_pallas(
+        coeffs, qrange, vrange, link_ids,
+        target.masks, target.masked_depth, target.depth, h, w,
+        tau=float("inf"), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(parts_inf), np.asarray(parts))
+
 
 def test_fused_error_kernel_vmap_batched_target_interpret():
     """rasterize_error_pallas must vmap over a BATCHED TargetBundle.
