@@ -576,30 +576,63 @@ class CandidateEvaluator:
         return f(state, self._w2c, tgt_depth, jnp.int32(joint_idx), rng)
 
     # ------------------------------------------------------------ lookup
+    def _lookup_tau(self):
+        """sqrt-domain truncation for the robust lookup metric, derived
+        from the evaluator's meter-domain robust_tau: |sqrt(a) - sqrt(b)|
+        ~= |a - b| / (2 sqrt(a)) ~= |a - b| / 2.5 at the ~1.5 m working
+        envelope.  None when the evaluator is in parity mode."""
+        return None if self.robust_tau is None else self.robust_tau * 0.4
+
     @staticmethod
-    @jax.jit
+    def _lookup_err(tgt_crop, lookup_sqrt, tau):
+        """Per-candidate lookup error over the pre-rendered stack.
+
+        ``tau=None`` — reference parity: ``mean(|tgt_raw - stack_sqrt|) *
+        std`` with the target left in RAW depth against the sqrt-domain
+        stack (predict.py:117 vs 406; a silhouette-weighted heuristic).
+        With the default bfloat16 stack storage
+        (config.LOOKUP_STACK_DTYPE) near-tied seeds can differ from an f32
+        comparison — use "float32" for bit-parity selection.
+
+        ``tau`` set — robust mode: truncated L1 in a CONSISTENT sqrt
+        domain, ``sum(min(|sqrt(tgt) - stack|, tau))``.  On cluttered
+        neural targets the parity heuristic misranks catastrophically —
+        measured (assets/diag_misrank2.py, 40-frame harness): a stack
+        entry within 2-4 deg of the truth existed on every failure but
+        ranked 38-5749, so all top-4 seeds sat in wrong basins ~100 deg
+        away on 13/18 failing frames.  Truncation scores silhouette
+        disagreement AREA (each mismatched pixel costs <= tau) instead of
+        depth magnitude, the same fix as the candidate error's robust
+        mode (ops/error.py link_error)."""
+        if tau is None:
+            m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
+            return m * s
+        d = jnp.abs(
+            jnp.sqrt(jnp.maximum(tgt_crop.astype(jnp.float32), 0.0))[None]
+            - lookup_sqrt.astype(jnp.float32)
+        )
+        return jnp.sum(jnp.minimum(d, jnp.float32(tau)), axis=(1, 2))
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("tau",))
     def lookup_select(
         tgt_crop: jnp.ndarray,  # [ch, cw] raw-domain cropped target depth
         lookup_sqrt: jnp.ndarray,  # [N, ch, cw] sqrt-domain lookup stack
         lookup_angles: jnp.ndarray,  # [N, 6]
+        tau: float = None,
     ) -> jnp.ndarray:
-        """Lookup-stage argmin.  NOTE reference parity: the target is raw
-        depth while the stack is sqrt-domain (predict.py:117 vs 406) — the
-        comparison is a silhouette-weighted heuristic.  The formula is the
-        reference's; with the default bfloat16 stack storage
-        (config.LOOKUP_STACK_DTYPE) near-tied seeds can differ from an f32
-        comparison — use "float32" for bit-parity selection."""
-        m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
-        err = m * s
+        """Lookup-stage argmin (see _lookup_err for the tau semantics)."""
+        err = CandidateEvaluator._lookup_err(tgt_crop, lookup_sqrt, tau)
         return lookup_angles[jnp.argmin(err)]
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("k",))
+    @functools.partial(jax.jit, static_argnames=("k", "tau"))
     def lookup_select_topk(
         tgt_crop: jnp.ndarray,
         lookup_sqrt: jnp.ndarray,
         lookup_angles: jnp.ndarray,
         k: int,
+        tau: float = None,
     ) -> jnp.ndarray:
         """Top-k lookup candidates: -> angles [k, 6] (best first).
 
@@ -607,26 +640,25 @@ class CandidateEvaluator:
         stage pipeline frame-batched and the lowest final error wins —
         robustness against wrong-basin lookup inits (a failure mode the
         reference's single-seed search shares)."""
-        m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
-        err = m * s
+        err = CandidateEvaluator._lookup_err(tgt_crop, lookup_sqrt, tau)
         _, idx = jax.lax.top_k(-err, k)
         return lookup_angles[idx]
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("k",))
+    @functools.partial(jax.jit, static_argnames=("k", "tau"))
     def lookup_select_batch(
         tgt_crops: jnp.ndarray,  # [F, ch, cw]
         lookup_sqrt: jnp.ndarray,  # [N, ch, cw]
         lookup_angles: jnp.ndarray,  # [N, 6]
         k: int = 1,
+        tau: float = None,
     ) -> jnp.ndarray:
         """Frame-batched lookup argmin: -> angles [F, 6] (or [F, k, 6]
         best-first when ``k`` > 1).  lax.map bounds the [N, ch, cw] diff
         intermediate to one frame at a time."""
 
         def one(tgt):
-            m, s = mean_abs_std(tgt[None] - lookup_sqrt)
-            err = m * s
+            err = CandidateEvaluator._lookup_err(tgt, lookup_sqrt, tau)
             if k > 1:
                 _, idx = jax.lax.top_k(-err, k)
                 return lookup_angles[idx]
@@ -847,9 +879,10 @@ class CandidateEvaluator:
             elif kind == "polish":
                 self._polish_fn(sk[1], sk[3], sk[2])
 
+        lookup_tau = self._lookup_tau()
+
         def lookup_one(tgt_crop, lookup_sqrt, lookup_angles):
-            m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
-            err = m * s
+            err = self._lookup_err(tgt_crop, lookup_sqrt, lookup_tau)
             if topk > 1:
                 _, idx = jax.lax.top_k(-err, topk)
                 return lookup_angles[idx]  # [k, 6]
@@ -1078,16 +1111,19 @@ class CandidateEvaluator:
         )
         has_lookup = any(sk[0] == "lookup" for sk in key)
         if multi and has_lookup and key[0][0] == "lookup":
+            lt = self._lookup_tau()
             if batched:
                 seeds = self.lookup_select_batch(
-                    tgt_crop, lookup_sqrt, lookup_angles, k=topk
+                    tgt_crop, lookup_sqrt, lookup_angles, k=topk, tau=lt
                 )
             elif topk > 1:
                 seeds = self.lookup_select_topk(
-                    tgt_crop, lookup_sqrt, lookup_angles, topk
+                    tgt_crop, lookup_sqrt, lookup_angles, topk, tau=lt
                 )
             else:
-                seeds = self.lookup_select(tgt_crop, lookup_sqrt, lookup_angles)
+                seeds = self.lookup_select(
+                    tgt_crop, lookup_sqrt, lookup_angles, tau=lt
+                )
             # Host round-trip of <=k*24 bytes: re-uploads the seeds as an
             # uncommitted single-device constant so the seeded program
             # stays off the lookup mesh entirely.

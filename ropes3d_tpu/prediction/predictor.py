@@ -1018,20 +1018,21 @@ class Predictor:
             name = type(stage).__name__
             with self.timer.stage(name):
                 if isinstance(stage, Lookup):
+                    lt = self.engine._lookup_tau()
                     if hypotheses:
                         angles = self.engine.lookup_select_topk(
                             self._tgt_lookup_crop, self.lookup_depth,
-                            self.lookup_angles, hypotheses,
+                            self.lookup_angles, hypotheses, tau=lt,
                         )
                     elif batch is None:
                         angles = self.engine.lookup_select(
                             self._tgt_lookup_crop, self.lookup_depth,
-                            self.lookup_angles,
+                            self.lookup_angles, tau=lt,
                         )
                     else:
                         angles = self.engine.lookup_select_batch(
                             self._tgt_lookup_crop, self.lookup_depth,
-                            self.lookup_angles,
+                            self.lookup_angles, tau=lt,
                         )
                     state = state._replace(angles=angles)
                 elif isinstance(stage, Descent):
