@@ -83,7 +83,11 @@ def test_forward_shapes(tiny_model):
     assert out["classes"].shape == (D,)
 
 
+@pytest.mark.slow
 def test_loss_finite_and_decreases(tiny_model):
+    """~50 s of XLA:CPU value_and_grad compile on a 1-core box (suite
+    budget, VERDICT r2 item 6) — slow lane.  The same train step runs in
+    the driver's dryrun_multichip every round, which checks the losses."""
     cfg, model, variables = tiny_model
     import optax
 

@@ -359,11 +359,11 @@ def test_fused_recipe_matches_stepwise(synth, monkeypatch):
     trimmed = [
         st.Lookup(),
         st.SFlip(4),
-        st.Descent(4, 3, "SL", [0.05, 0.05, 0.1, 0.5, 0.5, 0.5],
+        st.Descent(4, 2, "SL", [0.05, 0.05, 0.1, 0.5, 0.5, 0.5],
                    early_stop_thresh=0.1),
-        st.InterpolativeSweep(6, 6, "U"),
-        st.TensorSweep(6, 5, "S", 0.1),
-        st.Descent(6, 4, "SLU", early_stop_thresh=0.0075),
+        st.InterpolativeSweep(6, 4, "U"),
+        st.TensorSweep(6, 4, "S", 0.1),
+        st.Descent(6, 2, "SLU", early_stop_thresh=0.0075),
         st.Polish(6, "SLU", radii=(0.003,)),
     ]
     monkeypatch.setattr(pmod, "getStages", lambda a: list(trimmed))

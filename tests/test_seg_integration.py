@@ -163,7 +163,7 @@ def test_bootstrap_base_model(seg_root):
     from ropes3d_tpu.training.bootstrap import bootstrap_base_model
 
     path = bootstrap_base_model(
-        num_steps=2, batch=2, cfg=MaskRCNNConfig.tiny(),
+        num_steps=1, batch=2, cfg=MaskRCNNConfig.tiny(),
         intrinsics="640_480_color_8", log_every=1,
     )
     assert os.path.isdir(path)
