@@ -95,6 +95,24 @@ def synth_detection_batch(
     return {"images": images, "boxes": boxes, "classes": classes, "masks": masks}
 
 
+def _write_metrics(out_dir: str, step: int, metrics) -> None:
+    """Persist the last train-step losses next to the checkpoints.
+
+    Observable training state (the reference's equivalent signal is the
+    Keras progress line): monitors tail ``metrics.json`` instead of parsing
+    stdout, and the test suite's loss-sanity check reads it — a NaN/inf
+    loss fails the default lane even though the long training runs
+    themselves live in the slow lane."""
+    import json
+
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(
+            {"step": int(step),
+             **{k: float(v) for k, v in dict(metrics).items()}},
+            f,
+        )
+
+
 def set_base_model(ckpt_path: str) -> None:
     """Atomically point ``Paths().BASE_MODEL`` at a checkpoint directory.
 
@@ -205,6 +223,7 @@ def bootstrap_base_model_device(
                 + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items()),
                 flush=True,
             )
+            _write_metrics(out_dir, step, metrics)
         if step % ckpt_every == 0 or step == num_steps:
             ck += 1
             path = trainer.save(ck)
@@ -302,6 +321,7 @@ def bootstrap_base_model(
     out_dir = out_dir or os.path.dirname(Paths().BASE_MODEL)
     os.makedirs(out_dir, exist_ok=True)
     trainer = Trainer(cfg, out_dir, mesh=None, lr=lr)
+    metrics = {}
     for step in range(num_steps):
         b = synth_detection_batch(renderer, urdf, cfg, batch, rng)
         metrics = trainer.train_step(b)
@@ -310,6 +330,7 @@ def bootstrap_base_model(
                 f"bootstrap step {step + 1}/{num_steps}: "
                 + " ".join(f"{k}={float(v):.3f}" for k, v in metrics.items())
             )
+    _write_metrics(out_dir, num_steps, metrics)
     path = trainer.save(0)
     set_base_model(path)
     import json

@@ -168,3 +168,11 @@ def test_bootstrap_base_model(seg_root):
     )
     assert os.path.isdir(path)
     assert os.path.lexists(Paths().BASE_MODEL)
+    # Loss sanity: the default lane's only exercise of the loss/grad path
+    # (the long training loops are slow-lane) — a NaN/inf loss must fail
+    # here, not silently ship a broken base model.
+    with open(os.path.join(os.path.dirname(path), "metrics.json")) as f:
+        metrics = json.load(f)
+    losses = {k: v for k, v in metrics.items() if k != "step"}
+    assert losses, "bootstrap wrote no loss metrics"
+    assert all(np.isfinite(v) for v in losses.values()), losses
