@@ -17,6 +17,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, "/root/repo")
 import numpy as np
 from ropes3d_tpu.simulation.renderer import Renderer
+from ropes3d_tpu.simulation.clutter import ClutteredSceneMaker
 from ropes3d_tpu.simulation.noise import NoiseMaker
 from ropes3d_tpu.prediction.predictor import Predictor
 from ropes3d_tpu.robot import URDFReader
@@ -28,36 +29,8 @@ rng = np.random.default_rng(11)
 noise = NoiseMaker(rng)
 lim = urdf.joint_limits
 H, W = 720, 1280
-rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-
-def cluttered_scene(robot_color, robot_depth):
-    """Z-composite the shaded robot render into a cluttered RGB-D scene.
-
-    Background: a sloped far plane (3.2-5 m) under gradient+speckle
-    shading.  Distractors: 6 colored rectangles at random depths
-    0.5-3.2 m, occluding the robot when nearer (robot stands ~1.5 m from
-    the camera) — mirrors training's DeviceSynthPipeline z-buffer scene
-    model but generated host-side with an independent RNG."""
-    img = (np.ones((H, W, 3)) * rng.uniform(0, 255, 3)
-           + (cc / W * rng.uniform(-80, 80))[..., None]
-           + (rr / H * rng.uniform(-80, 80))[..., None]
-           + rng.normal(0, 25, (H, W, 3)))
-    dep = (rng.uniform(3.2, 5.0)
-           + (rr / H) * rng.uniform(-0.8, 0.8)
-           + (cc / W) * rng.uniform(-0.8, 0.8))
-    # Paint the robot where it is nearer than the background plane.
-    rob = (robot_depth > 0) & (robot_depth < dep)
-    img[rob] = robot_color[rob]
-    dep = np.where(rob, robot_depth, dep)
-    for _ in range(6):
-        cy, cx = rng.uniform(0, H), rng.uniform(0, W)
-        hh, ww = rng.uniform(30, H / 3), rng.uniform(30, W / 3)
-        col = rng.uniform(0, 255, 3)
-        z = rng.uniform(0.5, 3.2)
-        m = (np.abs(rr - cy) < hh) & (np.abs(cc - cx) < ww) & (z < dep)
-        img[m] = col
-        dep[m] = z
-    return np.clip(img, 0, 255), dep
+scenes = ClutteredSceneMaker(H, W, rng)
+cluttered_scene = scenes.compose
 
 lane = sys.argv[2] if len(sys.argv) > 2 else "run_real"
 topk = sys.argv[3] if len(sys.argv) > 3 else 4

@@ -1,0 +1,158 @@
+"""Instrument candidate escape-trigger features (VERDICT r3 item 4).
+
+The round-3 adaptive escape keyed on ONE feature — the global wrong-basin
+confidence ratio (final err / empty-render err) — and missed most of the
+2-18 deg tail.  This harness records, per synthetic SLU frame, the richer
+feature set VERDICT suggests, alongside the single-seed and staged-top-k
+ground-truth errors, so trigger rules can be swept OFFLINE:
+
+  conf        global ratio (the round-3 feature)
+  margin_k    (lookup_err[k] - lookup_err[0]) / lookup_err[0], k=1..7 —
+              near-tied seeds mean an ambiguous lookup ranking
+  maxlink     max over scored links of the per-link error ratio
+              (per-link mask+depth error / its empty-render value) at the
+              single-seed final pose — a wrong basin in one joint
+              concentrates residual in the distal links even when the
+              global ratio stays low
+
+Saves /tmp/escape_feats.npz and prints a trigger sweep: for each rule,
+escape fraction + pooled error stats if triggered frames took the top-k
+answer (the escape re-run IS the staged top-k program, so substituting
+the measured top-k error is exact, not a model).
+
+Usage: python assets/diag_escape_feats.py [n_frames]
+"""
+
+import os
+import sys
+
+os.environ.setdefault("ROPES3D_ROOT", "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.environ["ROPES3D_ROOT"])
+
+import numpy as np
+
+
+def per_link_ratios(target, depth, lid, tau):
+    """Per-link (mask+depth error) / (empty-render value), numpy mirror of
+    ops.error.link_error's per-link terms (indices 1..5)."""
+    tm = np.asarray(target.masks)[1:]
+    tmd = np.asarray(target.masked_depth)[1:]
+    present = np.asarray(target.present)[1:]
+    P = float(depth.shape[0] * depth.shape[1])
+    tcap = np.inf if tau is None else float(tau)
+    ratios = []
+    for i in range(5):
+        if not present[i]:
+            continue
+        rm = lid == (i + 1)
+        mask_err = np.mean(tm[i] != rm) * 5.0
+        rmd = depth * rm
+        adiff = np.minimum(np.abs(tmd[i] - rmd), tcap)
+        nz = adiff != 0
+        enough = (tmd[i] != 0).sum() > 0.05 * tm[i].sum()
+        depth_err = (
+            adiff[nz].mean() * 10.0 if (enough and nz.any()) else 0.0
+        )
+        # Empty-render per-link error (render covers nothing).
+        e_mask = tm[i].mean() * 5.0
+        tnz = tmd[i] != 0
+        e_depth = (
+            np.minimum(np.abs(tmd[i][tnz]), tcap).mean() * 10.0
+            if (enough and tnz.any()) else 0.0
+        )
+        ratios.append((mask_err + depth_err) / max(e_mask + e_depth, 1e-9))
+    return max(ratios) if ratios else 0.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.prediction.synthetic import SyntheticPredictor
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    cam = [0, -1.5, 0.75, 0, 0, 0]
+    sp = SyntheticPredictor(
+        cam, "1280_720_color", 8, "SLU", noise=False, seed=7,
+        lookup_topk="auto",
+    )
+    p = sp.predictor
+    tau_l = p.engine._lookup_tau()
+
+    @jax.jit
+    def lookup_top8_errs(crop):
+        errs = p.engine._lookup_err(crop, p.lookup_depth, tau_l)
+        vals, _ = jax.lax.top_k(-errs, 8)
+        return -vals  # ascending
+
+    if not hasattr(p, "_synth_prep"):
+        p._synth_prep = p._prepare_synthetic_device()
+
+    rows = []
+    for i in range(n):
+        po = sp._generatePose()
+        d, l = sp.renderer.render_batch_angles(np.asarray(po, np.float32)[None])
+        a, b = jnp.array(d[0]), jnp.array(l[0])
+        pend = p.run_synthetic(a, b, block=False)  # single-seed + conf
+        out = np.asarray(pend.out, dtype=float)
+        angles, conf = out[:6], out[6]
+        esc = pend.escape(*pend.args)  # the staged top-k program
+        res = p._synth_prep(a, b)
+        bundle, crop = res[0], res[1]
+        le = np.asarray(lookup_top8_errs(crop), float)
+        margins = (le[1:] - le[0]) / max(le[0], 1e-9)
+        rd, rl = p.renderer.render_batch_angles(
+            np.asarray(angles, np.float32)[None]
+        )
+        maxlink = per_link_ratios(
+            bundle, np.asarray(rd[0]), np.asarray(rl[0]), p.robust_tau
+        )
+        e0 = np.degrees(np.abs(angles - po))[:3]
+        e1 = np.degrees(np.abs(esc - po))[:3]
+        rows.append((conf, maxlink, *margins, *e0, *e1))
+        if (i + 1) % 25 == 0:
+            print(f"{i+1}/{n}", flush=True)
+
+    rows = np.array(rows)
+    np.savez("/tmp/escape_feats.npz", rows=rows)
+    conf, maxlink = rows[:, 0], rows[:, 1]
+    margins = rows[:, 2:9]
+    e0, e1 = rows[:, 9:12], rows[:, 12:15]
+
+    def stats(e):
+        return (
+            f"p50={np.median(e):.3f} p90={np.percentile(e, 90):.2f} "
+            f"max={e.max():.2f}"
+        )
+
+    print(f"\nsingle-seed: {stats(e0)}")
+    print(f"staged-topk: {stats(e1)}")
+    gain = e0.max(1) - e1.max(1)
+    print(f"frames where topk wins by >0.1deg: {(gain > 0.1).sum()}/{len(rows)}"
+          f", >0.5: {(gain > 0.5).sum()}, >2: {(gain > 2).sum()}")
+
+    def sweep(name, feat, thrs, escape_when_above=True):
+        print(f"\n{name}:")
+        for t in thrs:
+            trig = feat > t if escape_when_above else feat < t
+            err = np.where(trig[:, None], e1, e0)
+            print(f"  thr={t:.3g}: frac={trig.mean():.2f} {stats(err)}")
+
+    sweep("conf (round-3 feature)", conf, (0.3, 0.4, 0.5, 0.6))
+    sweep("maxlink ratio", maxlink, (0.3, 0.5, 0.7, 0.9, 1.1))
+    sweep("lookup margin_1 (escape when tied)", margins[:, 0],
+          (0.002, 0.005, 0.01, 0.02), escape_when_above=False)
+    sweep("lookup margin_3", margins[:, 2],
+          (0.005, 0.01, 0.02, 0.05), escape_when_above=False)
+    # Combined: maxlink OR near-tied lookup.
+    for ml, mg in ((0.5, 0.01), (0.7, 0.01), (0.9, 0.02)):
+        trig = (maxlink > ml) | (margins[:, 2] < mg)
+        err = np.where(trig[:, None], e1, e0)
+        print(f"\nmaxlink>{ml} | margin3<{mg}: frac={trig.mean():.2f} "
+              f"{stats(err)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -259,6 +259,93 @@ def _main():
     except Exception as e:  # keep the headline metric robust
         print(f"# e2e stage skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Full neural pipeline (config #1: per-frame segmentation -> staged
+    # search, reference predict_dataset.py:17-64 / predict.py:127-375) on
+    # held-out cluttered RGB-D scenes — the driver-visible record of the
+    # segment-then-predict path.  Skipped (fields None) when no trained
+    # segmenter is registered.
+    neural = {
+        "neural_p50_ms": None,
+        "neural_p90_ms": None,
+        "neural_median_err_deg": None,
+        "neural_p90_err_deg": None,
+        "neural_frames": None,
+        "seg_model": None,
+        "seg_iou_100px": None,
+    }
+    try:
+        from ropes3d_tpu.robot import URDFReader as _UR
+        from ropes3d_tpu.simulation.clutter import ClutteredSceneMaker
+        from ropes3d_tpu.simulation.noise import NoiseMaker
+        from ropes3d_tpu.prediction.predictor import Predictor
+        from ropes3d_tpu.training.model_registry import ModelManager
+
+        if ModelManager().dynamicLoad(dataset="bootstrap") is None:
+            raise FileNotFoundError("no bootstrap segmenter registered")
+        n_neural = int(os.environ.get("ROPES3D_BENCH_NEURAL_FRAMES", "24"))
+        rng2 = np.random.default_rng(11)
+        rend_real = Renderer("real", cam, base_intrin)
+        scenes = ClutteredSceneMaker(720, 1280, rng2)
+        noise = NoiseMaker(rng2)
+        lim2 = urdf.joint_limits
+        pn = Predictor(cam, ds, do_angles="SLU", base_intrin=base_intrin,
+                       model_ds="bootstrap")
+        neural["seg_model"] = os.path.basename(
+            os.path.dirname(getattr(pn.seg, "ckpt_path", "?"))
+        )
+        frames = []
+        for _ in range(n_neural):
+            pose = rng2.uniform(lim2[:, 0], lim2[:, 1]) * np.array(
+                [1, 1, 1, 0, 0, 0]
+            )
+            rend_real.setJointAngles(pose)
+            color, depth = rend_real.render()
+            img, d = scenes.compose(np.asarray(color, float), depth)
+            frames.append((pose, img.astype(np.uint8), noise.holes(d)))
+        pn.run_real(frames[0][1], frames[0][2])  # warmup/compile
+        if pn.adaptive_escape:
+            pn._real_escape(jnp.asarray(frames[0][1]), jnp.asarray(frames[0][2]))
+        # Depth-2 pipelined per-frame latency (same methodology as the
+        # synthetic e2e block above: inter-completion gap).
+        ntimes, nerrs, inflight2 = [], [], []
+
+        def _finish_neural():
+            po0, h0 = inflight2.pop(0)
+            predded = pn.finish(h0)
+            nonlocal t_prev2
+            t_now = time.perf_counter()
+            ntimes.append(1e3 * (t_now - t_prev2))
+            t_prev2 = t_now
+            nerrs.append(np.degrees(np.abs(predded - po0))[:3])
+
+        t_prev2 = time.perf_counter()
+        for po, img, d in frames:
+            inflight2.append((po, pn.run_real(img, d, block=False)))
+            if len(inflight2) >= 2:
+                _finish_neural()
+        while inflight2:
+            _finish_neural()
+        nerrs = np.array(nerrs)
+        neural.update(
+            neural_p50_ms=float(np.percentile(ntimes, 50)),
+            neural_p90_ms=float(np.percentile(ntimes, 90)),
+            neural_median_err_deg=float(np.median(nerrs)),
+            neural_p90_err_deg=float(np.percentile(nerrs, 90)),
+            neural_frames=n_neural,
+        )
+        # Segmenter capability on the same held-out clutter distribution.
+        from ropes3d_tpu.training.bootstrap import eval_segmenter_iou
+
+        n_iou = int(os.environ.get("ROPES3D_BENCH_IOU_SCENES", "24"))
+        neural["seg_iou_100px"] = round(
+            eval_segmenter_iou(
+                pn.seg.ckpt_path, n=n_iou, cluttered=True, min_gt_area=100.0
+            ),
+            4,
+        )
+    except Exception as e:  # keep the headline metric robust
+        print(f"# neural stage skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     baseline = 1.0 / (intr.size * 1.2e-8 + 0.002)
     result = {
         "metric": "render_and_match_candidates_per_sec_per_chip",
@@ -278,6 +365,7 @@ def _main():
             "e2e_p90_err_deg": p90_err_deg,
             "vpu_roofline_frac": vpu_frac,
             "vpu_peak_tops_assumed": 3.85,
+            **neural,
             "device": str(jax.devices()[0]),
         },
     }
