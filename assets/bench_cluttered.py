@@ -8,7 +8,7 @@ can occlude the robot) exactly as the RGB channel is — an RGB-D
 segmenter gets no free geometric giveaway.
 
 Usage: python assets/bench_cluttered.py [n_frames] [run|run_real] [topk]
-(topk defaults to the Predictor default: staged top-k 4; pass 1 or 'auto')
+(topk defaults to the Predictor default: staged top-k 4)
 """
 import os, sys, time
 os.environ["ROPES3D_ROOT"] = "/root/repo"
@@ -33,8 +33,7 @@ scenes = ClutteredSceneMaker(H, W, rng)
 cluttered_scene = scenes.compose
 
 lane = sys.argv[2] if len(sys.argv) > 2 else "run_real"
-topk = sys.argv[3] if len(sys.argv) > 3 else 4
-topk = topk if topk == "auto" else int(topk)
+topk = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 model_id = sys.argv[4] if len(sys.argv) > 4 else None
 if model_id:  # pin a specific segmenter (A/B runs); default = dynamicLoad
     from ropes3d_tpu.training.model_registry import ModelManager

@@ -17,8 +17,15 @@ ground-truth errors, so trigger rules can be swept OFFLINE:
 
 Saves /tmp/escape_feats.npz and prints a trigger sweep: for each rule,
 escape fraction + pooled error stats if triggered frames took the top-k
-answer (the escape re-run IS the staged top-k program, so substituting
-the measured top-k error is exact, not a model).
+answer (substituting the measured top-k error is exact, not a model).
+
+CONCLUSION (2026-08-19, 200 frames, 160x90 SLU): the staged top-k
+advantage is a BROAD best-of-4 improvement (p50 0.273 vs 0.397 deg,
+p90 1.15 vs 2.02), not a detectable tail — the best rule at any <=14%
+re-run fraction left p50 at ~0.39 and p90 >=1.67, and the one 80.7-deg
+outlier resisted top-k itself.  No trigger can make single-seed+escape
+match topk=4 within 0.05 deg median, so the confidence-triggered 'auto'
+mode was REMOVED from the Predictor; staged topk=4 stays the default.
 
 Usage: python assets/diag_escape_feats.py [n_frames]
 """
@@ -76,31 +83,56 @@ def main():
     cam = [0, -1.5, 0.75, 0, 0, 0]
     sp = SyntheticPredictor(
         cam, "1280_720_color", 8, "SLU", noise=False, seed=7,
-        lookup_topk="auto",
+        lookup_topk=1,
     )
     p = sp.predictor
     tau_l = p.engine._lookup_tau()
+    run1 = None  # single-seed and staged-topk fused programs
+    run4 = None
 
+    # The lookup stack is passed as an ARGUMENT, not a closure: a jitted
+    # closure would embed the multi-hundred-MB stack as a program constant
+    # and the remote-compile request blows the tunnel's size limit.
     @jax.jit
-    def lookup_top8_errs(crop):
-        errs = p.engine._lookup_err(crop, p.lookup_depth, tau_l)
+    def _top8(crop, stack):
+        errs = p.engine._lookup_err(crop, stack, tau_l)
         vals, _ = jax.lax.top_k(-errs, 8)
         return -vals  # ascending
 
+    def lookup_top8_errs(crop):
+        return _top8(crop, p.lookup_depth)
+
     if not hasattr(p, "_synth_prep"):
         p._synth_prep = p._prepare_synthetic_device()
+    p._setStages()
+    prep = p._synth_prep_core()
+    run1 = p._fused_run(prep, topk=1)
+    run4 = p._fused_run(prep, topk=4)  # the staged top-k program
+
+    from ropes3d_tpu.ops.error import link_error
+
+    @jax.jit
+    def global_conf(angles, bundle):
+        """Final err / empty-render err (the cut 'auto' trigger feature)."""
+        la = jnp.arange(6) >= 1
+        err = p.engine._eval_fn(6)(angles[None], p.engine._w2c, bundle)[0]
+        zero_d = jnp.zeros_like(bundle.depth)
+        zero_l = jnp.full(bundle.depth.shape, -1, jnp.int32)
+        base = link_error(bundle, zero_d, zero_l, la, p.robust_tau)
+        return err / jnp.maximum(base, 1e-9)
 
     rows = []
     for i in range(n):
         po = sp._generatePose()
         d, l = sp.renderer.render_batch_angles(np.asarray(po, np.float32)[None])
         a, b = jnp.array(d[0]), jnp.array(l[0])
-        pend = p.run_synthetic(a, b, block=False)  # single-seed + conf
-        out = np.asarray(pend.out, dtype=float)
-        angles, conf = out[:6], out[6]
-        esc = pend.escape(*pend.args)  # the staged top-k program
+        angles = np.asarray(
+            run1(a, b, p.lookup_depth, p.lookup_angles), float
+        )
+        esc = np.asarray(run4(a, b, p.lookup_depth, p.lookup_angles), float)
         res = p._synth_prep(a, b)
         bundle, crop = res[0], res[1]
+        conf = float(global_conf(jnp.asarray(angles, jnp.float32), bundle))
         le = np.asarray(lookup_top8_errs(crop), float)
         margins = (le[1:] - le[0]) / max(le[0], 1e-9)
         rd, rl = p.renderer.render_batch_angles(

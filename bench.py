@@ -223,8 +223,6 @@ def _main():
             inputs.append((jnp.array(d[0]), jnp.array(l[0])))
         jax.block_until_ready(inputs[-1])
         p.run_synthetic(*inputs[0])  # warmup/compile
-        if p.adaptive_escape:
-            p._synth_escape(*inputs[0])  # pre-compile the escape program
 
         # Steady-state per-frame latency in a depth-2 pipeline: dispatch
         # frame i, then finish frame i-1 — the tunnel's ~30 ms read-back of
@@ -303,8 +301,6 @@ def _main():
             img, d = scenes.compose(np.asarray(color, float), depth)
             frames.append((pose, img.astype(np.uint8), noise.holes(d)))
         pn.run_real(frames[0][1], frames[0][2])  # warmup/compile
-        if pn.adaptive_escape:
-            pn._real_escape(jnp.asarray(frames[0][1]), jnp.asarray(frames[0][2]))
         # Depth-2 pipelined per-frame latency (same methodology as the
         # synthetic e2e block above: inter-completion gap).
         ntimes, nerrs, inflight2 = [], [], []

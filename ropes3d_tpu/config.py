@@ -51,14 +51,6 @@ LOOKUP_MAX_DIV_PER_LINK = 200
 LOOKUP_JOINTS = "SLU"
 LOOKUP_NUM_RENDERED = 6
 
-# Adaptive wrong-basin escape (lookup_topk="auto"): when a converged fit's
-# final error exceeds ESCAPE_CONF_THRESH x the empty-render error of the
-# same target, the frame re-runs with the best ESCAPE_TOPK lookup seeds as
-# parallel hypotheses.  Confident frames pay nothing (the ratio rides the
-# angles read-back); only ambiguous frames pay the top-k recipe.
-ESCAPE_CONF_THRESH = 0.5
-ESCAPE_TOPK = 4
-
 # Staged top-k: with lookup_topk=k, all k seeds run the cheap early stages
 # (flips + sweeps + coarse descent); only the best TOPK_FINAL survivors run
 # the expensive final descent + polish.  Measured on 150 synthetic frames

@@ -169,43 +169,6 @@ def link_error_from_parts(
     return err + gmean * gstd
 
 
-def empty_render_error(
-    target: TargetBundle,
-    link_active: jnp.ndarray,
-    tau: float | jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """The error an *empty* render scores against this target.
-
-    Every term of :func:`link_error` reduces to a target-only statistic
-    when the render covers nothing.  Used as the normaliser for the
-    wrong-basin confidence signal: a converged fit's error is a small
-    fraction of this; a wrong-basin fit stays a large fraction (the
-    adaptive top-k escape in the predictor keys off the ratio).  ``tau``
-    must match the evaluator's robust truncation so the ratio is
-    comparable.
-    """
-    robust = tau is not None
-    tau = jnp.float32(jnp.inf if tau is None else tau)
-    P = float(target.depth.shape[0] * target.depth.shape[1])
-    score = link_active[1:] & target.present[1:]
-    tm = target.masks[1:]
-    tmasked = target.masked_depth[1:]
-    mask_errs = jnp.sum(tm, axis=(1, 2)) / P * 5.0
-    tgt_nz = jnp.sum(tmasked != 0, axis=(1, 2))
-    enough = tgt_nz > 0.05 * jnp.sum(tm, axis=(1, 2))
-    mean_nz = jnp.sum(
-        jnp.minimum(jnp.abs(tmasked), tau), axis=(1, 2)
-    ) / jnp.maximum(tgt_nz, 1)
-    depth_errs = jnp.where(enough & (tgt_nz > 0), mean_nz * 10.0, 0.0)
-    err = jnp.sum(jnp.where(score, mask_errs + depth_errs, 0.0))
-    tdep = jnp.minimum(target.depth, tau)
-    if robust:
-        err += jnp.sum(tdep) / P
-    else:
-        err += _safe_mean_nonzero(tdep) * jnp.std(tdep)
-    return err
-
-
 def mean_abs_std(diff: jnp.ndarray, axes=(1, 2)) -> jnp.ndarray:
     """``mean(|diff|) , std(|diff|)`` in ONE pass over ``diff``.
 

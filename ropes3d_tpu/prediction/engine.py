@@ -35,9 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..camera import Intrinsics, camera_matrices
-from ..ops.error import (
-    TargetBundle, empty_render_error, link_error, mean_abs_std,
-)
+from ..ops.error import TargetBundle, link_error, mean_abs_std
 from ..ops.interp import cubic_spline_uniform
 from ..ops.rasterizer import render_batch
 from ..robot import MeshLoader, URDFReader
@@ -822,11 +820,10 @@ class CandidateEvaluator:
 
     @functools.lru_cache(maxsize=16)
     def _recipe_jit(self, key, topk, jacobi, batched, history_length,
-                    final_render: int = 6, seeded: bool = False,
-                    with_conf: bool = False):
+                    final_render: int = 6, seeded: bool = False):
         return jax.jit(
             self._recipe_fn(key, topk, jacobi, batched, history_length,
-                            final_render, seeded, with_conf)
+                            final_render, seeded)
         )
 
     @functools.lru_cache(maxsize=16)
@@ -839,7 +836,6 @@ class CandidateEvaluator:
         history_length: int,
         final_render: int = 6,
         seeded: bool = False,
-        with_conf: bool = False,
     ):
         """Compile an entire stage recipe into ONE device program.
 
@@ -954,26 +950,6 @@ class CandidateEvaluator:
             )
 
         eval6 = self._eval_fn(final_render)
-        la_final = (np.arange(6) >= 1) & (np.arange(6) < final_render)
-
-        def conf_of(err, target):
-            """Wrong-basin confidence: final error as a fraction of the error
-            an EMPTY render would score on this target (converged fits sit at
-            a small fraction; wrong basins stay large — the predictor's
-            adaptive top-k escape keys off this, VERDICT r2 item 5)."""
-            base = empty_render_error(
-                target, jnp.asarray(la_final), self.robust_tau
-            )
-            return err / jnp.maximum(base, 1e-9)
-
-        def finish(angles, w2c, target):
-            # with_conf packs the ratio into the angles vector ([...,7]) so
-            # the host still does ONE small read-back (a second device->host
-            # pull costs ~30 ms on tunneled chips).
-            if not with_conf:
-                return angles
-            err = eval6(angles[None], w2c, target)[0]
-            return jnp.concatenate([angles, conf_of(err, target)[None]])
 
         if seeded:
             # Seeded variant: the lookup argmin has already run as its own
@@ -988,32 +964,22 @@ class CandidateEvaluator:
 
             def single_seeded(w2c, cam_pose, target, seeds):
                 if topk > 1:
-                    best, err = topk_post(seeds, w2c, target, cam_pose)
-                    if with_conf:
-                        return jnp.concatenate(
-                            [best, conf_of(err, target)[None]]
-                        )
+                    best, _ = topk_post(seeds, w2c, target, cam_pose)
                     return best
-                return finish(
-                    run_post(seeds, w2c, target, cam_pose), w2c, target
-                )
+                return run_post(seeds, w2c, target, cam_pose)
 
             if batched:
                 if topk > 1:
                     def seeded_frame(w2c, cam_pose, target, seed_k):
-                        best, err = topk_post(seed_k, w2c, target, cam_pose)
-                        if with_conf:
-                            return jnp.concatenate(
-                                [best, conf_of(err, target)[None]]
-                            )
+                        best, _ = topk_post(seed_k, w2c, target, cam_pose)
                         return best
 
                     return jax.vmap(
                         seeded_frame, in_axes=(None, None, 0, 0)
                     )
                 return jax.vmap(
-                    lambda w2c, cam_pose, target, seed: finish(
-                        run_post(seed, w2c, target, cam_pose), w2c, target
+                    lambda w2c, cam_pose, target, seed: run_post(
+                        seed, w2c, target, cam_pose
                     ),
                     in_axes=(None, None, 0, 0),
                 )
@@ -1028,16 +994,12 @@ class CandidateEvaluator:
                     state = self._apply_stage(
                         sk, state, w2c, target, cam_pose, jacobi
                     )
-                return finish(state.angles, w2c, target)
+                return state.angles
             seeds = lookup_one(tgt_crop, lookup_sqrt, lookup_angles)
             if topk > 1:
-                best, err = topk_post(seeds, w2c, target, cam_pose)
-                if with_conf:
-                    return jnp.concatenate(
-                        [best, conf_of(err, target)[None]]
-                    )
+                best, _ = topk_post(seeds, w2c, target, cam_pose)
                 return best
-            return finish(run_post(seeds, w2c, target, cam_pose), w2c, target)
+            return run_post(seeds, w2c, target, cam_pose)
 
         fn = single
         if batched:
@@ -1057,20 +1019,14 @@ class CandidateEvaluator:
                     )
                     if topk > 1:
                         def per_frame(seed_k, tgt):
-                            best, err = topk_post(seed_k, w2c, tgt, cam_pose)
-                            if with_conf:
-                                return jnp.concatenate(
-                                    [best, conf_of(err, tgt)[None]]
-                                )
+                            best, _ = topk_post(seed_k, w2c, tgt, cam_pose)
                             return best
 
                         return jax.vmap(per_frame, in_axes=(0, 0))(
                             seeds, target
                         )
                     return jax.vmap(
-                        lambda seed, tgt: finish(
-                            run_post(seed, w2c, tgt, cam_pose), w2c, tgt
-                        ),
+                        lambda seed, tgt: run_post(seed, w2c, tgt, cam_pose),
                         in_axes=(0, 0),
                     )(seeds, target)
 
@@ -1090,13 +1046,8 @@ class CandidateEvaluator:
         jacobi: bool = False,
         batched: bool = False,
         history_length: int = 5,
-        with_conf: bool = False,
     ) -> jnp.ndarray:
         """Run a whole stage recipe as one fused device dispatch -> angles.
-
-        ``with_conf=True`` packs a wrong-basin confidence ratio (final
-        error / empty-render error) as a 7th trailing element per frame,
-        computed inside the same program — no extra dispatch or read-back.
 
         When the lookup stack is sharded across devices, the lookup argmin
         runs as its own (collective-bearing) dispatch and the rest of the
@@ -1129,8 +1080,7 @@ class CandidateEvaluator:
             # stays off the lookup mesh entirely.
             seeds = jnp.asarray(np.asarray(seeds), jnp.float32)
             f = self._recipe_jit(
-                key, topk, jacobi, batched, history_length, seeded=True,
-                with_conf=with_conf,
+                key, topk, jacobi, batched, history_length, seeded=True
             )
             return f(
                 self._w2c,
@@ -1138,9 +1088,7 @@ class CandidateEvaluator:
                 target,
                 seeds,
             )
-        f = self._recipe_jit(
-            key, topk, jacobi, batched, history_length, with_conf=with_conf
-        )
+        f = self._recipe_jit(key, topk, jacobi, batched, history_length)
         return f(
             self._w2c,
             jnp.asarray(self.camera_pose, jnp.float32),

@@ -26,8 +26,6 @@ from ..config import (
     DEPTH_GATE_BODY,
     DEPTH_GATE_LINK,
     ERROR_ROBUST_TAU,
-    ESCAPE_CONF_THRESH,
-    ESCAPE_TOPK,
     LOOKUP_JOINTS,
     LOOKUP_NUM_RENDERED,
 )
@@ -50,13 +48,12 @@ HISTORY_LENGTH = 5
 class PendingFrame:
     """An in-flight fused-lane frame (``run_synthetic``/``run_real`` with
     ``block=False``): the device program is dispatched, the host read-back
-    deferred.  Pass to :meth:`Predictor.finish`; the kept input references
-    let adaptive escape re-run the frame without re-uploading."""
+    deferred to :meth:`Predictor.finish`."""
 
-    __slots__ = ("out", "escape", "args")
+    __slots__ = ("out",)
 
-    def __init__(self, out, escape, args):
-        self.out, self.escape, self.args = out, escape, args
+    def __init__(self, out):
+        self.out = out
 
 
 class Predictor:
@@ -87,19 +84,18 @@ class Predictor:
         basins, predict.py:163-171).  The default 4 uses the STAGED
         schedule (config.TOPK_FINAL): all seeds run the cheap early
         stages, the best 2 survivors run the final descent + polish —
-        measured 0.28 deg median / 1.10 p90 / 8.2 max on 150 synthetic
-        frames vs 0.40/2.08/18.6 single-seed, for ~25% more device time.
-        k = 1 forces pure single-seed.  "auto" runs single-seed plus a
-        top-``ESCAPE_TOPK`` re-run of frames whose wrong-basin confidence
-        ratio exceeds ESCAPE_CONF_THRESH — cheapest, but the confidence
-        signal misses most of the 2-18 deg tail (it only flags
-        catastrophic basins), so it is no longer the default."""
+        measured 0.27 deg median / 1.15 p90 on 200 synthetic frames vs
+        0.40/2.02 single-seed, for ~25% more device time.  k = 1 forces
+        pure single-seed.  (A confidence-triggered "auto" escape mode was
+        measured and removed: the top-k advantage is a broad best-of-k
+        improvement, not a detectable tail — no trigger feature (global
+        error ratio, per-link ratios, lookup margins) recovered the top-k
+        median at any re-run fraction, assets/diag_escape_feats.py.)"""
         assert search_mode in ("fast", "parity")
         self.search_mode = search_mode
         # lookup_topk > 1 refines the best k lookup seeds in parallel
         # (hypothesis-batched stages) and keeps the lowest-error result.
-        self.adaptive_escape = lookup_topk == "auto"
-        self.lookup_topk = 1 if self.adaptive_escape else int(lookup_topk)
+        self.lookup_topk = int(lookup_topk)
         self.ds_factor, self.preview = ds_factor, preview
         self.do_angles = do_angles.upper()
         self.min_ang_inc = min_angle_inc
@@ -407,8 +403,7 @@ class Predictor:
                 self._fine_target = res[2] if len(res) > 2 else None
             return self._run_stages()
         key = (
-            self.search_mode, self.lookup_topk, self.adaptive_escape,
-            tuple(self.camera_pose),
+            self.search_mode, self.lookup_topk, tuple(self.camera_pose),
         )
         if getattr(self, "_synth_run_key", None) != key:
             self._setStages()
@@ -424,42 +419,21 @@ class Predictor:
             else:
                 self._synth_prep_fn = base_prep
             self._synth_run = self._fused_run(
-                self._synth_prep_fn, self.lookup_topk, self.adaptive_escape,
+                self._synth_prep_fn, self.lookup_topk,
                 fine=bool(self.fine_scale),
             )
-            self._synth_escape_run = None
             self._synth_run_key = key
         a, b = jnp.asarray(depth_full), jnp.asarray(lid_full)
         with self.timer.stage("synthetic_fused"):
             out = self._synth_run(a, b, self.lookup_depth, self.lookup_angles)
-        pending = PendingFrame(out, self._synth_escape, (a, b))
+        pending = PendingFrame(out)
         return pending if not block else self.finish(pending)
 
-    def _synth_escape(self, a, b) -> np.ndarray:
-        if self._synth_escape_run is None:
-            self._synth_escape_run = self._fused_run(
-                self._synth_prep_fn, ESCAPE_TOPK, False,
-                fine=bool(self.fine_scale),
-            )
-        return np.asarray(
-            self._synth_escape_run(a, b, self.lookup_depth, self.lookup_angles),
-            dtype=float,
-        )
-
     def finish(self, pending: "PendingFrame") -> np.ndarray:
-        """Complete a ``block=False`` dispatch: read back the (tiny) result
-        and, under adaptive escape, re-run ambiguous frames with top-k
-        hypothesis seeds (config.ESCAPE_*)."""
-        out = np.asarray(pending.out, dtype=float)
-        if not self.adaptive_escape or out.shape[-1] == 6:
-            return out
-        angles, conf = out[:6], out[6]
-        if conf > ESCAPE_CONF_THRESH:
-            with self.timer.stage("basin_escape"):
-                angles = pending.escape(*pending.args)
-        return angles
+        """Complete a ``block=False`` dispatch: read back the (tiny) result."""
+        return np.asarray(pending.out, dtype=float)
 
-    def _fused_run(self, prep, topk: int, with_conf: bool, fine: bool = False):
+    def _fused_run(self, prep, topk: int, fine: bool = False):
         """jit (prep -> recipe [-> fine polish]) into ONE program for the
         fused fast lanes.  With ``fine``, ``prep`` must return a third
         element — the FINE_POLISH_SCALE-resolution target built from the
@@ -474,7 +448,6 @@ class Predictor:
             self.search_mode == "fast",
             False,
             self.history_length,
-            with_conf=with_conf,
         )
         w2c = self.engine._w2c
         cam_vec = jnp.asarray(self.camera_pose, jnp.float32)
@@ -488,20 +461,7 @@ class Predictor:
                 w2c, cam_vec, bundle, crop, lookup_depth, lookup_angles
             )
             if fine_fn is not None:
-                fine_t = res[2]
-                if with_conf:
-                    # Skip the polish on frames headed for a top-k escape
-                    # re-run (their angles are discarded; the escape
-                    # program fine-polishes its own result).
-                    ang = jax.lax.cond(
-                        out[6] <= ESCAPE_CONF_THRESH,
-                        lambda x: fine_fn(x, w2c, fine_t),
-                        lambda x: x,
-                        out[:6],
-                    )
-                    out = jnp.concatenate([ang, out[6:]])
-                else:
-                    out = fine_fn(out[:6], w2c, fine_t)
+                out = fine_fn(out[:6], w2c, res[2])
             return out
 
         return run1
@@ -654,8 +614,7 @@ class Predictor:
                 self._fine_target = res[2] if len(res) > 2 else None
             return self._run_stages()
         key = (
-            self.search_mode, self.lookup_topk, self.adaptive_escape,
-            tuple(self.camera_pose),
+            self.search_mode, self.lookup_topk, tuple(self.camera_pose),
         )
         if getattr(self, "_real_run_key", None) != key:
             self._setStages()
@@ -663,27 +622,15 @@ class Predictor:
                 with_fine=bool(self.fine_scale)
             )
             self._real_run = self._fused_run(
-                self._real_prep_fn, self.lookup_topk, self.adaptive_escape,
+                self._real_prep_fn, self.lookup_topk,
                 fine=bool(self.fine_scale),
             )
-            self._real_escape_run = None
             self._real_run_key = key
         a, b = jnp.asarray(target_color), jnp.asarray(target_depth)
         with self.timer.stage("real_fused"):
             out = self._real_run(a, b, self.lookup_depth, self.lookup_angles)
-        pending = PendingFrame(out, self._real_escape, (a, b))
+        pending = PendingFrame(out)
         return pending if not block else self.finish(pending)
-
-    def _real_escape(self, a, b) -> np.ndarray:
-        if self._real_escape_run is None:
-            self._real_escape_run = self._fused_run(
-                self._real_prep_fn, ESCAPE_TOPK, False,
-                fine=bool(self.fine_scale),
-            )
-        return np.asarray(
-            self._real_escape_run(a, b, self.lookup_depth, self.lookup_angles),
-            dtype=float,
-        )
 
     # ------------------------------------------------------------ batched
     def run_batch(self, target_colors, target_depths, camera_pose=None) -> np.ndarray:
@@ -965,37 +912,8 @@ class Predictor:
                 jacobi=jacobi,
                 batched=batch is not None,
                 history_length=self.history_length,
-                with_conf=self.adaptive_escape,
             )
-        out = np.asarray(angles, dtype=float)
-        if not self.adaptive_escape:
-            return self._apply_fine_polish_host(out)
-        out, conf = out[..., :6], out[..., 6]
-        with self.timer.stage("basin_escape"):
-            if batch is None:
-                if conf > ESCAPE_CONF_THRESH:
-                    out = np.asarray(
-                        self.engine.run_recipe(
-                            self.stages, self._target, self._tgt_lookup_crop,
-                            self.lookup_depth, self.lookup_angles,
-                            topk=ESCAPE_TOPK, jacobi=jacobi,
-                            history_length=self.history_length,
-                        ),
-                        dtype=float,
-                    )
-            else:
-                for i in np.nonzero(conf > ESCAPE_CONF_THRESH)[0]:
-                    target_i = jax.tree.map(lambda x: x[i], self._target)
-                    out[i] = np.asarray(
-                        self.engine.run_recipe(
-                            self.stages, target_i, self._tgt_lookup_crop[i],
-                            self.lookup_depth, self.lookup_angles,
-                            topk=ESCAPE_TOPK, jacobi=jacobi,
-                            history_length=self.history_length,
-                        ),
-                        dtype=float,
-                    )
-        return self._apply_fine_polish_host(out)
+        return self._apply_fine_polish_host(np.asarray(angles, dtype=float))
 
     def _run_stages_stepwise(self, batch: Optional[int] = None) -> np.ndarray:
         """Per-stage dispatch loop (preview/debug path; also the reference

@@ -71,10 +71,8 @@ class SyntheticPredictor:
                 predicted = p.run_synthetic(d[0], l[0])
             else:
                 if not hasattr(self, "_fused"):
-                    self._fused = self._build_fused(
-                        p.lookup_topk, with_conf=p.adaptive_escape
-                    )
-                out = np.asarray(
+                    self._fused = self._build_fused(p.lookup_topk)
+                predicted = np.asarray(
                     self._fused(
                         jnp.asarray(pose, jnp.float32),
                         p.lookup_depth,
@@ -82,26 +80,9 @@ class SyntheticPredictor:
                     ),
                     dtype=float,
                 )
-                if p.adaptive_escape:
-                    from ..config import ESCAPE_CONF_THRESH, ESCAPE_TOPK
-
-                    predicted, conf = out[:6], out[6]
-                    if conf > ESCAPE_CONF_THRESH:
-                        if not hasattr(self, "_fused_escape"):
-                            self._fused_escape = self._build_fused(ESCAPE_TOPK)
-                        predicted = np.asarray(
-                            self._fused_escape(
-                                jnp.asarray(pose, jnp.float32),
-                                p.lookup_depth,
-                                p.lookup_angles,
-                            ),
-                            dtype=float,
-                        )
-                else:
-                    predicted = out
         return pose, predicted
 
-    def _build_fused(self, topk: int, with_conf: bool = False):
+    def _build_fused(self, topk: int):
         """Compose render + prep + recipe into one jitted program."""
         import jax
         import jax.numpy as jnp
@@ -117,7 +98,6 @@ class SyntheticPredictor:
             p.search_mode == "fast",
             False,
             p.history_length,
-            with_conf=with_conf,
         )
         prep = p._synth_prep_core()
         h, w = rend.resolution

@@ -177,86 +177,14 @@ def test_multi_hypothesis_lookup(synth):
     assert np.median(err) < 2.5, err
 
 
-def test_adaptive_escape_gating_unit(synth, monkeypatch):
-    """finish() gating (VERDICT r2 item 5): a 7-wide fused result escapes
-    iff adaptive mode is on AND the confidence ratio exceeds the threshold.
-    Pure host logic — no compiles (the full fused-program variant is the
-    slow test below)."""
-    import ropes3d_tpu.prediction.predictor as pmod
-
-    p = synth.predictor
-    angles = np.array([0.1, 0.2, 0.3, 0, 0, 0])
-    out7 = np.concatenate([angles, [0.7]])  # conf ratio 0.7
-    escaped = np.full(6, 9.0)
-    old = p.adaptive_escape
-    try:
-        p.adaptive_escape = True
-        # conf 0.7 > thresh 0.5: escape fires and its result is returned.
-        res = p.finish(pmod.PendingFrame(out7, lambda a, b: escaped, (1, 2)))
-        np.testing.assert_array_equal(res, escaped)
-        # conf below threshold: angles pass through, escape not called.
-        calm = np.concatenate([angles, [0.2]])
-        res = p.finish(pmod.PendingFrame(
-            calm, lambda a, b: (_ for _ in ()).throw(AssertionError("escaped")),
-            (1, 2)))
-        np.testing.assert_array_equal(res, angles)
-        # Non-adaptive predictors never escape, 6- or 7-wide.
-        p.adaptive_escape = False
-        res = p.finish(pmod.PendingFrame(
-            angles, lambda a, b: (_ for _ in ()).throw(AssertionError("escaped")),
-            (1, 2)))
-        np.testing.assert_array_equal(res, angles)
-    finally:
-        p.adaptive_escape = old
-
-
 @pytest.mark.slow
-def test_adaptive_escape_confidence_gate(synth, monkeypatch):
-    """lookup_topk='auto' (VERDICT r2 item 5): confident frames must NOT pay
-    the top-k escape re-run; frames whose wrong-basin confidence ratio
-    exceeds the threshold must.  Compiles the single-chip fused programs
-    (~4 min XLA:CPU) — the gating logic itself is covered by the fast
-    test_adaptive_escape_gating_unit."""
-    import ropes3d_tpu.prediction.predictor as pmod
-
-    pose = np.array([0.72, -0.30, -0.74, 0, 0, 0], np.float32)
-    depth, lid = synth.renderer.render_batch_angles(pose[None])
-    p = synth.predictor
-    # The adaptive-escape PendingFrame machinery is the single-chip fused
-    # lane; on the 8-virtual-device test mesh the lookup loads sharded, so
-    # force the single-chip route (the sharded stack still jits fine).
-    old_mesh = p._lookup_mesh
-    p._lookup_mesh = None
-    p.lookup_topk, p.adaptive_escape = 1, True
-    p._synth_run_key = None
-    calls = []
-    orig = pmod.Predictor._synth_escape
-    monkeypatch.setattr(
-        pmod.Predictor, "_synth_escape",
-        lambda self, a, b: (calls.append(1), orig(self, a, b))[1],
-    )
-    try:
-        # Easy pose, generous threshold: no escape dispatch.
-        monkeypatch.setattr(pmod, "ESCAPE_CONF_THRESH", 1e9)
-        est = p.run_synthetic(depth[0], lid[0])
-        assert est.shape == (6,) and not calls
-        assert np.degrees(np.abs(est - pose))[:3].max() < 5.0
-        # Forced-low threshold: every frame escapes (re-runs with top-k).
-        monkeypatch.setattr(pmod, "ESCAPE_CONF_THRESH", -1.0)
-        est2 = p.run_synthetic(depth[0], lid[0])
-        assert len(calls) == 1
-        assert np.degrees(np.abs(est2 - pose))[:3].max() < 5.0
-    finally:
-        p.adaptive_escape = False
-        p._lookup_mesh = old_mesh
-        p._synth_run_key = None
-
-
-@pytest.mark.slow
-def test_escape_recovers_wrong_basin(synth):
+def test_topk_recovers_wrong_basin(synth):
     """Seeded wrong-basin fixture (VERDICT r2 item 5): on the starved CPU
     config, pose [0.865, -0.193, 1.887] converges >10 deg off single-seed;
-    the ESCAPE_TOPK hypothesis re-run must land materially closer."""
+    the staged top-k hypothesis search must land materially closer.  (This
+    robustness is why topk=4 is the production default — a cheaper
+    confidence-triggered escape was measured and cut, see
+    assets/diag_escape_feats.py.)"""
     pose = np.array([0.865, -0.193, 1.887, 0, 0, 0], np.float32)
     depth, lid = synth.renderer.render_batch_angles(pose[None])
     p = synth.predictor
@@ -265,15 +193,14 @@ def test_escape_recovers_wrong_basin(synth):
         p.lookup_topk, p._synth_run_key = 1, None
         est1 = p.run_synthetic(depth[0], lid[0])
         e1 = np.degrees(np.abs(est1 - pose))[:3].max()
-        from ropes3d_tpu.config import ESCAPE_TOPK
 
-        p.lookup_topk, p._synth_run_key = ESCAPE_TOPK, None
+        p.lookup_topk, p._synth_run_key = 4, None
         est4 = p.run_synthetic(depth[0], lid[0])
         e4 = np.degrees(np.abs(est4 - pose))[:3].max()
     finally:
         p.lookup_topk, p._synth_run_key = 1, None
     assert e1 > 10.0, f"fixture no longer wrong-basin single-seed ({e1:.1f})"
-    assert e4 < e1 - 5.0, f"top-k escape did not improve: {e1:.1f} -> {e4:.1f}"
+    assert e4 < e1 - 5.0, f"staged top-k did not improve: {e1:.1f} -> {e4:.1f}"
 
 
 def test_search_state_persistence(synth):
@@ -316,7 +243,7 @@ def test_fused_programs_trace(synth):
 
     # topk=2 multi-hypothesis fused program (slow sibling compiles+runs it).
     prep = p._synth_prep_core()
-    run2 = p._fused_run(prep, topk=2, with_conf=False)
+    run2 = p._fused_run(prep, topk=2)
     out = jax.eval_shape(run2, a, b, p.lookup_depth, p.lookup_angles)
     assert out.shape == (6,)
 
@@ -326,9 +253,9 @@ def test_fused_programs_trace(synth):
     from ropes3d_tpu.config import TOPK_FINAL
 
     assert TOPK_FINAL < 4
-    run4 = p._fused_run(prep, topk=4, with_conf=True)
+    run4 = p._fused_run(prep, topk=4)
     out = jax.eval_shape(run4, a, b, p.lookup_depth, p.lookup_angles)
-    assert out.shape == (7,)
+    assert out.shape == (6,)
 
     # Frame-vmapped prep (run_batch_synthetic's target load).
     if not hasattr(p, "_synth_prep"):
