@@ -1,12 +1,13 @@
 """Resolution-scaling benchmark for the candidate evaluator (VERDICT r3
 item 5): sustained render-and-match throughput at 160x90 / 320x180 /
-640x360 working resolutions, annotating which backend served each row —
-the fused Pallas raster+error kernel (padded width <= 512 and the target
-maps fit VMEM, engine._eval_fn) or the two-step XLA rasterize + link_error
-fallback.
+640x360 working resolutions, for BOTH backends at each resolution —
 
-Publishes the BENCHMARKS.md resolution table; quantifies what a
-``-ds_factor 2`` user actually gets when the headline kernel bails.
+  fused     the Pallas raster+error kernel (VMEM-resident targets up to
+            padded width 512, per-tile HBM streaming beyond — the TPU
+            production path, engine._eval_fn)
+  two-step  XLA rasterize -> link_error (the non-TPU fallback)
+
+Publishes the BENCHMARKS.md resolution table.
 
 Usage: python assets/bench_resolution.py [ds_factors...]  (default: 8 4 2)
 """
@@ -28,7 +29,7 @@ def bench_ds(ds: int, n_iters: int = 12):
     import jax.numpy as jnp
 
     from ropes3d_tpu.camera import Intrinsics
-    from ropes3d_tpu.ops.error import TargetBundle
+    from ropes3d_tpu.ops.error import TargetBundle, link_error
     from ropes3d_tpu.prediction.engine import CandidateEvaluator
     from ropes3d_tpu.robot import URDFReader
     from ropes3d_tpu.simulation.renderer import Renderer
@@ -38,14 +39,6 @@ def bench_ds(ds: int, n_iters: int = 12):
     intr.downscale(ds)
     urdf = URDFReader()
     engine = CandidateEvaluator(cam, intr, urdf=urdf)
-
-    # Which backend will _eval_fn hand back?  (Mirror of its sizing rule.)
-    wp = -(-intr.width // 128) * 128
-    hp = -(-intr.height // 8) * 8
-    fused = (
-        wp <= 512 and (2 * 6 + 1) * hp * wp * 4 <= 8 * 2**20
-        and jax.default_backend() not in ("cpu", "gpu")
-    )
 
     rend = Renderer(camera_pose=cam, camera_intrin=str(intr))
     rend.setJointAngles(np.array([0.4, 0.1, 0.6, 0, 0, 0]))
@@ -59,8 +52,8 @@ def bench_ds(ds: int, n_iters: int = 12):
     )
 
     # Scale the candidate batch down with resolution so the two-step
-    # fallback's [B, H, W] render intermediates stay well inside HBM.
-    B = max(128, 1024 // (8 // min(ds, 8)) ** 2) if ds < 8 else 1024
+    # backend's [B, H, W] render intermediates stay well inside HBM.
+    B = 1024 if ds >= 8 else (512 if ds == 4 else 128)
     rng = np.random.default_rng(0)
     lim = urdf.joint_limits
 
@@ -72,30 +65,40 @@ def bench_ds(ds: int, n_iters: int = 12):
             ])
         )
 
-    eval_fn = engine._eval_fn(6)
+    la = jnp.asarray((np.arange(6) >= 1) & (np.arange(6) < 6))
+    render = engine._render_fn(6, 1)
 
-    @jax.jit
-    def sustained(allb, w2c, tgt):
-        def body(_, b):
-            return 0.0, eval_fn(b, w2c, tgt).min()
-        _, mins = jax.lax.scan(body, 0.0, allb)
-        return mins
+    def twostep(angles, w2c, tgt):
+        d, l = render(angles, w2c)
+        return jax.vmap(lambda dd, ll: link_error(tgt, dd, ll, la, None))(d, l)
 
-    sustained(fresh(n_iters), engine._w2c, target).block_until_ready()
-    timed = fresh(n_iters)
-    jax.block_until_ready(timed)
-    t0 = time.perf_counter()
-    sustained(timed, engine._w2c, target).block_until_ready()
-    dt = time.perf_counter() - t0
-    cps = B * n_iters / dt
+    wp = -(-intr.width // 128) * 128
+    fused_name = "fused-resident" if wp <= 512 else "fused-streaming"
+    backends = [(fused_name, engine._eval_fn(6)), ("two-step-xla", twostep)]
     px = intr.width * intr.height
-    print(
-        f"ds={ds} ({intr.width}x{intr.height}) backend="
-        f"{'fused-pallas' if fused else 'two-step-xla'} batch={B}: "
-        f"{cps:,.0f} cand/s  ({cps * px / 1e9:.2f} Gpix/s)",
-        flush=True,
-    )
-    return cps
+    out = {}
+    for name, eval_fn in backends:
+        @jax.jit
+        def sustained(allb, w2c, tgt, _f=eval_fn):
+            def body(_, b):
+                return 0.0, _f(b, w2c, tgt).min()
+            _, mins = jax.lax.scan(body, 0.0, allb)
+            return mins
+
+        sustained(fresh(n_iters), engine._w2c, target).block_until_ready()
+        timed = fresh(n_iters)
+        jax.block_until_ready(timed)
+        t0 = time.perf_counter()
+        sustained(timed, engine._w2c, target).block_until_ready()
+        dt = time.perf_counter() - t0
+        cps = B * n_iters / dt
+        out[name] = cps
+        print(
+            f"ds={ds} ({intr.width}x{intr.height}) {name} batch={B}: "
+            f"{cps:,.0f} cand/s  ({cps * px / 1e9:.2f} Gpix/s)",
+            flush=True,
+        )
+    return out
 
 
 def main():

@@ -457,6 +457,177 @@ def _raster_error_kernel(
     )
 
 
+def _raster_error_kernel_hbm(
+    origin_ref,  # SMEM [3] f32 — row0, col0, tau
+    gbbox_ref,  # SMEM [1, 1, 4] f32 — per-candidate silhouette bbox
+    chunk_bbox_ref,  # SMEM [1, n_chunks, 4] f32 (per-candidate block)
+    coeffs_ref,  # VMEM [1, N, 12] f32 (per-candidate block, planar coefs)
+    qrange_ref,  # VMEM [1, N, 2] f32
+    lids_ref,  # VMEM [N, 1] i32 (shared)
+    target_ref,  # ANY/HBM [11, Hp, Wp] f32 — stacked target planes:
+    #   [0:5] link masks 1..5, [5:10] masked depth 1..5, [10] body depth
+    parts_ref,  # VMEM out [1, 8, _PARTS_LANES] f32
+    *,
+    n_chunks: int,
+    h: int,
+    w: int,
+    hp: int,
+    wp: int,
+):
+    """High-resolution variant of :func:`_raster_error_kernel`.
+
+    Identical math and tile-culling structure, but the target maps live in
+    HBM and each visited tile DMAs its [11, R, C] target block into VMEM
+    scratch — VMEM use is O(tile), not O(frame), so the fused path scales
+    to full-resolution targets (wp > 512) where whole-map residency
+    doesn't fit.  The DMA is issued BEFORE the triangle chunk loop and
+    awaited after it, so the ~45 KB fetch rides under the raster compute.
+    Only silhouette-intersecting tiles are visited, so HBM traffic tracks
+    silhouette size — the same property that makes the resident variant
+    fast."""
+    R = ERR_TILE_R
+    C = 128
+    n_rt = hp // R
+    n_ct = wp // C
+    P = R * C
+
+    def run(kacc, tgt, dsem, pacc):
+        pacc[:] = jnp.zeros((1, 8, _PARTS_LANES), jnp.float32)
+
+        o0 = origin_ref[0]
+        o1 = origin_ref[1]
+        tau = origin_ref[2]
+        vmin = gbbox_ref[0, 0, 0]
+        vmax = gbbox_ref[0, 0, 1]
+        umin = gbbox_ref[0, 0, 2]
+        umax = gbbox_ref[0, 0, 3]
+        tr_lo = jnp.clip(jnp.ceil((vmin - o0 - 0.5 - (R - 1)) / R), 0.0, n_rt)
+        tr_hi = jnp.clip(jnp.floor((vmax - o0 - 0.5) / R), -1.0, n_rt - 1.0)
+        tc_lo = jnp.clip(jnp.ceil((umin - o1 - 0.5 - (C - 1)) / C), 0.0, n_ct)
+        tc_hi = jnp.clip(jnp.floor((umax - o1 - 0.5) / C), -1.0, n_ct - 1.0)
+        tr0 = tr_lo.astype(jnp.int32)
+        tc0 = tc_lo.astype(jnp.int32)
+        ntr = jnp.maximum(tr_hi.astype(jnp.int32) - tr0 + 1, 0)
+        ntc = jnp.maximum(tc_hi.astype(jnp.int32) - tc0 + 1, 0)
+
+        def tile(i, _):
+            t_r = tr0 + i // jnp.maximum(ntc, 1)
+            t_c = tc0 + i % jnp.maximum(ntc, 1)
+            row_min = o0 + t_r.astype(jnp.float32) * R + 0.5
+            row_max = row_min + (R - 1)
+            col_min = o1 + t_c.astype(jnp.float32) * C + 0.5
+            col_max = col_min + (C - 1)
+
+            # Fetch this tile's target block while the chunk loop rasters.
+            dma = pltpu.make_async_copy(
+                target_ref.at[:, pl.ds(t_r * R, R), pl.ds(t_c * C, C)],
+                tgt,
+                dsem,
+            )
+            dma.start()
+
+            rows = t_r * R + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+            cols = t_c * C + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+            py = rows.astype(jnp.float32) + (o0 + 0.5)
+            px = cols.astype(jnp.float32) + (o1 + 0.5)
+            pxf = px.reshape(1, P)
+            pyf = py.reshape(1, P)
+            kacc[:] = jnp.zeros((R, C), jnp.int32)
+
+            def chunk(c, _):
+                @pl.when(
+                    (chunk_bbox_ref[0, c, 1] >= row_min)
+                    & (chunk_bbox_ref[0, c, 0] <= row_max)
+                    & (chunk_bbox_ref[0, c, 3] >= col_min)
+                    & (chunk_bbox_ref[0, c, 2] <= col_max)
+                )
+                def _():
+                    A = coeffs_ref[0, pl.ds(c * ERR_CHUNK, ERR_CHUNK), :]
+                    e0 = A[:, 0:1] * pxf + A[:, 1:2] * pyf + A[:, 2:3]
+                    e1 = A[:, 3:4] * pxf + A[:, 4:5] * pyf + A[:, 5:6]
+                    e2 = A[:, 6:7] * pxf + A[:, 7:8] * pyf + A[:, 8:9]
+                    m = jnp.minimum(jnp.minimum(e0, e1), e2)
+                    q = A[:, 9:10] * pxf + A[:, 10:11] * pyf + A[:, 11:12]
+                    qlo = qrange_ref[0, pl.ds(c * ERR_CHUNK, ERR_CHUNK), 0][:, None]
+                    qhi = qrange_ref[0, pl.ds(c * ERR_CHUNK, ERR_CHUNK), 1][:, None]
+                    q = jnp.clip(q, qlo, qhi)
+                    qv = jnp.where(m >= 0.0, q, 0.0)
+                    lidv = lids_ref[pl.ds(c * ERR_CHUNK, ERR_CHUNK), 0][:, None]
+                    key = (jax.lax.bitcast_convert_type(qv, jnp.int32) & ~7) | lidv
+                    kacc[:] = jnp.maximum(
+                        kacc[:], jnp.max(key, axis=0).reshape(R, C)
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk, 0)
+            dma.wait()
+
+            kmax = kacc[:]
+            validpix = (rows < h) & (cols < w)
+            hit = (kmax >= 8) & validpix
+            hitf = hit.astype(jnp.float32)
+            qmax = jax.lax.bitcast_convert_type(kmax & ~7, jnp.float32)
+            depth = jnp.where(hit, 1.0 / jnp.maximum(qmax, 1e-12), 0.0)
+            lid = kmax & 7
+
+            corr = []
+            rms = [(hit & (lid == li)).astype(jnp.float32) for li in range(1, 6)]
+            for li, rmf in zip(range(1, 6), rms):
+                tm = tgt[li - 1]
+                corr.append(jnp.sum(rmf) - 2.0 * jnp.sum(rmf * tm))
+            for li, rmf in zip(range(1, 6), rms):
+                a = tgt[4 + li]
+                ad = jnp.abs(a - depth)
+                corr.append(
+                    jnp.sum(rmf * (jnp.minimum(ad, tau) - jnp.minimum(a, tau)))
+                )
+            for li, rmf in zip(range(1, 6), rms):
+                a = tgt[4 + li]
+                ad = jnp.abs(a - depth)
+                corr.append(
+                    jnp.sum(
+                        rmf
+                        * (
+                            (ad != 0.0).astype(jnp.float32)
+                            - (a != 0.0).astype(jnp.float32)
+                        )
+                    )
+                )
+            t = tgt[10]
+            d = jnp.abs(t - depth)
+            dt_, tt_ = jnp.minimum(d, tau), jnp.minimum(t, tau)
+            corr.append(jnp.sum(hitf * (dt_ - tt_)))
+            corr.append(
+                jnp.sum(
+                    hitf
+                    * (
+                        (d != 0.0).astype(jnp.float32)
+                        - (t != 0.0).astype(jnp.float32)
+                    )
+                )
+            )
+            corr.append(jnp.sum(hitf * (dt_ * dt_ - tt_ * tt_)))
+
+            vec = jnp.stack(corr).reshape(1, 1, NUM_PARTS)
+            vec = jnp.pad(
+                vec, ((0, 0), (0, 7), (0, _PARTS_LANES - NUM_PARTS))
+            )
+            pacc[:] = pacc[:] + vec
+            return 0
+
+        jax.lax.fori_loop(0, ntr * ntc, tile, 0)
+        parts_ref[:] = pacc[:]
+
+    pl.run_scoped(
+        run,
+        pltpu.VMEM((ERR_TILE_R, 128), jnp.int32),
+        pltpu.VMEM((11, ERR_TILE_R, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+        pltpu.VMEM((1, 8, _PARTS_LANES), jnp.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
 def rasterize_error_pallas(
     coeffs: jnp.ndarray,  # [B, N, 4, 3]
@@ -486,8 +657,11 @@ def rasterize_error_pallas(
     bit-exact reference parity (internally +inf — every ``min`` is then an
     identity).
 
-    Sized for working resolutions (padded width <= 512); callers fall back
-    to rasterize + link_error beyond that."""
+    Backend selection by resolution: up to padded width 512 the target
+    maps are VMEM-resident (one upfront block load, zero per-tile DMA);
+    beyond that the streaming variant keeps them in HBM and DMAs each
+    visited silhouette tile — same culling, O(tile) VMEM, any
+    resolution."""
     tau = jnp.float32(jnp.inf if tau is None else tau)
     coeffs, qrange, vrange, link_ids = _pad_tris(
         coeffs, qrange, vrange, link_ids, chunk=ERR_CHUNK
@@ -513,7 +687,7 @@ def rasterize_error_pallas(
 
     hp = -(-h // ERR_TILE_R) * ERR_TILE_R
     wp = -(-w // 128) * 128
-    assert wp <= 512, "fused-error kernel is for working resolutions"
+    resident = wp <= 512  # whole-map VMEM residency budget; else stream
     tmask = jnp.pad(
         tmask.astype(jnp.float32), ((0, 0), (0, hp - h), (0, wp - w))
     )
@@ -544,47 +718,65 @@ def rasterize_error_pallas(
         ],
     )  # [NUM_PARTS]
 
-    kernel = functools.partial(
-        _raster_error_kernel, n_chunks=n_chunks, h=h, w=w, hp=hp, wp=wp
-    )
     origin = jnp.asarray(
         [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32), tau]
     )
+    common_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, 1, 4), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (1, n_chunks, 4), lambda b: (b, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (1, Np, 12), lambda b: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, Np, 2), lambda b: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    common_args = (
+        origin, gbbox, chunk_bbox, coeffs.reshape(B, Np, 12), qrange,
+        link_ids[:, None].astype(jnp.int32),
+    )
+    if resident:
+        kernel = functools.partial(
+            _raster_error_kernel, n_chunks=n_chunks, h=h, w=w, hp=hp, wp=wp
+        )
+        tgt_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        tgt_args = (tmask, tmasked, tdepth)
+    else:
+        kernel = functools.partial(
+            _raster_error_kernel_hbm, n_chunks=n_chunks, h=h, w=w, hp=hp,
+            wp=wp,
+        )
+        # Stacked target planes stay in HBM; the kernel DMAs per-tile
+        # blocks (indices 1..5 of masks/masked are the scored links).
+        target_hbm = jnp.concatenate(
+            [tmask[1:6], tmasked[1:6], tdepth[None]], axis=0
+        )
+        tgt_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        tgt_args = (target_hbm,)
     parts = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, 4), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, n_chunks, 4), lambda b: (b, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, Np, 12), lambda b: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, Np, 2), lambda b: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=common_specs + tgt_specs,
         out_specs=pl.BlockSpec(
             (1, 8, _PARTS_LANES), lambda b: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, 8, _PARTS_LANES), jnp.float32),
         interpret=interpret,
-    )(
-        origin, gbbox, chunk_bbox, coeffs.reshape(B, Np, 12), qrange,
-        link_ids[:, None].astype(jnp.int32), tmask, tmasked, tdepth,
-    )
+    )(*common_args, *tgt_args)
     # Candidate-independent frame totals are added OUTSIDE the kernel: a
     # plain XLA add vmaps trivially when the target (and thus ``base``) is
     # batched — a [k, NUM_PARTS] SMEM operand would not lower (Squeezed

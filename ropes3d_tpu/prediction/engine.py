@@ -200,16 +200,12 @@ class CandidateEvaluator:
         link_active = (np.arange(6) >= 1) & (np.arange(6) < to_render)
         sh, sw = self.h * scale, self.w * scale
 
-        # The fused raster+error kernel keeps the full padded target maps in
-        # VMEM and is sized for working resolutions (padded width <= 512,
-        # rasterizer_pallas.py); larger configs (e.g. -ds_factor 2 on
-        # 1280-wide intrinsics) fall through to the two-step
-        # rasterize + link_error path below.
-        wp = -(-sw // 128) * 128
-        hp = -(-sh // 8) * 8
-        fused_fits = wp <= 512 and (2 * 6 + 1) * hp * wp * 4 <= 8 * 2**20
-
-        if fused_fits and jax.default_backend() not in ("cpu", "gpu"):
+        # The fused raster+error kernel serves every resolution on TPU:
+        # working resolutions keep the target maps VMEM-resident; above
+        # padded width 512 the streaming variant DMAs per-tile target
+        # blocks from HBM (rasterizer_pallas.py backend selection).  Only
+        # non-TPU backends use the two-step rasterize + link_error path.
+        if jax.default_backend() not in ("cpu", "gpu"):
             # TPU: fused raster+error kernel — one launch per eval, no
             # [B, H, W] HBM round trip (the inner loop of every stage).
             from ..ops.error import link_error_from_parts

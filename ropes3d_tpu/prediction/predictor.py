@@ -153,19 +153,16 @@ class Predictor:
 
         # Fine-polish pass (config.FINE_POLISH_*): a final pattern search
         # evaluated at FINE_POLISH_SCALE x the working resolution, below
-        # the working-res pixel-quantization floor.  Auto-disabled when the
-        # scaled frame exceeds the fused kernel's VMEM sizing or ds_factor
-        # doesn't divide by the scale.
+        # the working-res pixel-quantization floor.  Auto-disabled when
+        # ds_factor doesn't divide by the scale (no exact finer grid).
+        # Resolution itself no longer gates it: the fused kernel streams
+        # per-tile target blocks from HBM above padded width 512, so the
+        # scaled eval fits at any working resolution.
         from ..config import FINE_POLISH_SCALE
         from ..utils.common import str_to_arr
 
         s = int(FINE_POLISH_SCALE)
-        wp = -(-self.intrinsics.width * s // 128) * 128
-        hp = -(-self.intrinsics.height * s // 8) * 8
-        fits = (
-            s > 1 and ds_factor % s == 0
-            and wp <= 512 and (2 * 6 + 1) * hp * wp * 4 <= 8 * 2**20
-        )
+        fits = s > 1 and ds_factor % s == 0
         self.fine_scale = s if (fine_polish and fits) else 0
         self._fine_joints = tuple(bool(b) for b in str_to_arr(self.do_angles))
         self._fine_target = None

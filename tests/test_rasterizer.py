@@ -387,6 +387,67 @@ def test_fused_error_kernel_matches_link_error_interpret():
     np.testing.assert_array_equal(np.asarray(parts_inf), np.asarray(parts))
 
 
+def test_fused_error_kernel_streaming_matches_link_error_interpret():
+    """The high-resolution streaming variant (padded width > 512: target
+    maps in HBM, per-tile DMA) must produce the same partials/error as the
+    two-step reference formula.  640-wide frame forces the HBM route."""
+    from ropes3d_tpu.ops.error import (
+        TargetBundle,
+        link_error,
+        link_error_from_parts,
+    )
+    from ropes3d_tpu.ops.rasterizer import triangle_setup
+    from ropes3d_tpu.ops.rasterizer_pallas import rasterize_error_pallas
+
+    h, w = 368, 640
+    tris = np.array(
+        [
+            [[-1, -1, -2], [1, -1, -2], [0, 1, -2]],
+            [[-0.5, -0.5, -1.5], [0.5, -0.5, -1.5], [0, 0.7, -1.5]],
+            [[-0.2, -0.8, -1.2], [0.8, -0.6, -1.3], [0.2, 0.5, -1.2]],
+        ],
+        np.float32,
+    )
+    link_ids = jnp.array([1, 2, 3], jnp.int32)
+    valid = jnp.array([True, True, True])
+    fx = fy = 300.0
+    cx, cy = 320.0, 184.0
+
+    def setup(scale):
+        cam = transform_vertices(
+            jnp.asarray(tris) * scale, link_ids, jnp.stack([jnp.eye(4)] * 4),
+            jnp.eye(4),
+        )
+        return triangle_setup(cam, valid, fx, fy, cx, cy)
+
+    t_coeffs, t_qrange, _, _ = setup(1.0)
+    t_depth, t_lid = rasterize(t_coeffs, t_qrange, link_ids, h, w)
+    masks = jnp.stack([t_lid == i for i in range(6)])
+    target = TargetBundle(
+        masks,
+        (masks * t_depth[None]).astype(jnp.float32),
+        masks.any(axis=(1, 2)),
+        t_depth.astype(jnp.float32),
+    )
+
+    cands = [setup(0.9), setup(1.1)]
+    coeffs = jnp.stack([c[0] for c in cands])
+    qrange = jnp.stack([c[1] for c in cands])
+    vrange = jnp.stack([c[2] for c in cands])
+    la = jnp.asarray((np.arange(6) >= 1) & (np.arange(6) < 6))
+    for tau in (None, 0.05):
+        parts = rasterize_error_pallas(
+            coeffs, qrange, vrange, link_ids,
+            target.masks, target.masked_depth, target.depth, h, w, tau=tau,
+            interpret=True,
+        )
+        e_fused = np.asarray(link_error_from_parts(parts, target, la, h * w, tau))
+        for b in range(2):
+            d, l = rasterize(cands[b][0], cands[b][1], link_ids, h, w)
+            e_ref = float(link_error(target, d, l, la, tau))
+            np.testing.assert_allclose(e_fused[b], e_ref, rtol=1e-5)
+
+
 def test_fused_error_kernel_vmap_batched_target_interpret():
     """rasterize_error_pallas must vmap over a BATCHED TargetBundle.
 
