@@ -269,6 +269,7 @@ def test_fused_programs_trace(synth):
     assert bundle.masks.shape[0] == F
 
 
+@pytest.mark.slow
 def test_fused_recipe_matches_stepwise(synth, monkeypatch):
     """The whole-recipe fused program (and its sharded-lookup split) must
     reproduce the per-stage dispatch loop exactly.

@@ -410,7 +410,9 @@ def test_fused_error_kernel_streaming_matches_link_error_interpret():
     )
     link_ids = jnp.array([1, 2, 3], jnp.int32)
     valid = jnp.array([True, True, True])
-    fx = fy = 300.0
+    # fx sets silhouette size and thus visited-tile count — 150 keeps the
+    # interpret-mode run ~10 s while still spanning many row tiles.
+    fx = fy = 150.0
     cx, cy = 320.0, 184.0
 
     def setup(scale):
