@@ -16,10 +16,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, "/root/repo")
 import numpy as np
-import jax.numpy as jnp
 
-from ropes3d_tpu.ops.error import mean_abs_std
 from ropes3d_tpu.prediction.predictor import Predictor
+from ropes3d_tpu.simulation.clutter import ClutteredSceneMaker
 from ropes3d_tpu.simulation.noise import NoiseMaker
 from ropes3d_tpu.simulation.renderer import Renderer
 from ropes3d_tpu.robot import URDFReader
@@ -31,29 +30,7 @@ rng = np.random.default_rng(11)
 noise = NoiseMaker(rng)
 lim = urdf.joint_limits
 H, W = 720, 1280
-rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-
-
-def cluttered_scene(robot_color, robot_depth):
-    img = (np.ones((H, W, 3)) * rng.uniform(0, 255, 3)
-           + (cc / W * rng.uniform(-80, 80))[..., None]
-           + (rr / H * rng.uniform(-80, 80))[..., None]
-           + rng.normal(0, 25, (H, W, 3)))
-    dep = (rng.uniform(3.2, 5.0)
-           + (rr / H) * rng.uniform(-0.8, 0.8)
-           + (cc / W) * rng.uniform(-0.8, 0.8))
-    rob = (robot_depth > 0) & (robot_depth < dep)
-    img[rob] = robot_color[rob]
-    dep = np.where(rob, robot_depth, dep)
-    for _ in range(6):
-        cy, cx = rng.uniform(0, H), rng.uniform(0, W)
-        hh, ww = rng.uniform(30, H / 3), rng.uniform(30, W / 3)
-        col = rng.uniform(0, 255, 3)
-        z = rng.uniform(0.5, 3.2)
-        m = (np.abs(rr - cy) < hh) & (np.abs(cc - cx) < ww) & (z < dep)
-        img[m] = col
-        dep[m] = z
-    return np.clip(img, 0, 255), dep
+cluttered_scene = ClutteredSceneMaker(H, W, rng).compose
 
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
@@ -83,8 +60,11 @@ for i in range(n):
     e2 = np.asarray(p.engine.evaluate(
         np.stack([pose, est]).astype(np.float32), p._target, 6
     ))
-    m, s = mean_abs_std(p._tgt_lookup_crop[None] - look_sqrt)
-    lerr = np.asarray(m * s)
+    # Rank under the metric the recipe actually uses (robust truncated-L1
+    # in sqrt domain when robust_tau is set — engine._lookup_err).
+    lerr = np.asarray(p.engine._lookup_err(
+        p._tgt_lookup_crop, look_sqrt, p.engine._lookup_tau()
+    ))
     order = np.argsort(lerr)
     seeds = look_ang[order[:k]]
     sd = np.degrees(np.abs(seeds[:, :3] - pose[None, :3])).max(axis=1)

@@ -589,23 +589,57 @@ class CandidateEvaluator:
         comparison — use "float32" for bit-parity selection.
 
         ``tau`` set — robust mode: truncated L1 in a CONSISTENT sqrt
-        domain, ``sum(min(|sqrt(tgt) - stack|, tau))``.  On cluttered
-        neural targets the parity heuristic misranks catastrophically —
-        measured (assets/diag_misrank2.py, 40-frame harness): a stack
-        entry within 2-4 deg of the truth existed on every failure but
-        ranked 38-5749, so all top-4 seeds sat in wrong basins ~100 deg
-        away on 13/18 failing frames.  Truncation scores silhouette
-        disagreement AREA (each mismatched pixel costs <= tau) instead of
-        depth magnitude, the same fix as the candidate error's robust
-        mode (ops/error.py link_error)."""
+        domain.  On cluttered neural targets the parity heuristic misranks
+        catastrophically — measured (assets/diag_misrank2.py, 40-frame
+        harness): a stack entry within 2-4 deg of the truth existed on
+        every failure but ranked 38-5749, so all top-4 seeds sat in wrong
+        basins ~100 deg away on 13/18 failing frames.  Truncation scores
+        silhouette disagreement AREA (each mismatched pixel costs <= tau)
+        instead of depth magnitude, the same fix as the candidate error's
+        robust mode (ops/error.py link_error).
+
+        Robust + 2-channel ``tgt_crop`` [2, ch, cw] — OCCLUSION-AWARE mode
+        (the neural predictor's default): channel 0 is the seg-masked
+        gated depth, channel 1 the raw observed scene depth (clutter and
+        all, noise holes = 0).  Plain truncated L1 still charges the TRUE
+        pose tau for every robot pixel the segmenter missed — occluded or
+        dropped — so poses that "hide" outrank it (round-4
+        diag_misrank2: the within-3-deg stack entry ranked 137-10792 on
+        12/19 cluttered failures).  Instead:
+
+        - detected pixels (seg > 0): trusted two-sided match
+          ``min(|sqrt(seg) - stack|, tau)``;
+        - undetected pixels with depth evidence (obs > 0) under a
+          hypothesized robot pixel (stack > 0): one-sided FREE-SPACE
+          VIOLATION ``min(max(sqrt(obs) - stack, 0), tau)`` — an observed
+          surface *behind* the hypothesized robot proves the robot isn't
+          there; a *nearer* surface legitimately occludes it and costs
+          nothing.
+
+        A pose is thus scored by how well it covers the detected fragment
+        and whether its silhouette violates observed free space — never by
+        the segmenter's recall."""
         if tau is None:
             m, s = mean_abs_std(tgt_crop[None] - lookup_sqrt)
             return m * s
-        d = jnp.abs(
-            jnp.sqrt(jnp.maximum(tgt_crop.astype(jnp.float32), 0.0))[None]
-            - lookup_sqrt.astype(jnp.float32)
-        )
-        return jnp.sum(jnp.minimum(d, jnp.float32(tau)), axis=(1, 2))
+        t = tgt_crop.astype(jnp.float32)
+        stack = lookup_sqrt.astype(jnp.float32)
+        tau = jnp.float32(tau)
+        if t.ndim == 3:  # [2, ch, cw]: (seg-masked depth, raw scene depth)
+            seg = jnp.sqrt(jnp.maximum(t[0], 0.0))
+            obs = jnp.sqrt(jnp.maximum(t[1], 0.0))
+            det = seg > 0
+            match = jnp.where(
+                det[None], jnp.minimum(jnp.abs(seg[None] - stack), tau), 0.0
+            )
+            free = jnp.where(
+                (~det & (obs > 0))[None] & (stack > 0),
+                jnp.minimum(jnp.maximum(obs[None] - stack, 0.0), tau),
+                0.0,
+            )
+            return jnp.sum(match + free, axis=(1, 2))
+        d = jnp.abs(jnp.sqrt(jnp.maximum(t, 0.0))[None] - stack)
+        return jnp.sum(jnp.minimum(d, tau), axis=(1, 2))
 
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("tau",))

@@ -552,9 +552,15 @@ class Predictor:
             )
             tgt_crop = lookup_depth[
                 crop[0] : crop[1] + 1, crop[2] : crop[3] + 1
-            ]
+            ].astype(jnp.float32)
+            if self.robust_tau is not None:
+                # 2-channel occlusion-aware lookup target (see
+                # engine._lookup_err): raw (ungated) scene depth as the
+                # occlusion-evidence channel.
+                raw_crop = depth[crop[0] : crop[1] + 1, crop[2] : crop[3] + 1]
+                tgt_crop = jnp.stack([tgt_crop, raw_crop.astype(jnp.float32)])
             if not with_fine:
-                return bundle, tgt_crop.astype(jnp.float32)
+                return bundle, tgt_crop
 
             # Fine target (FINE_POLISH_SCALE x): paste the SAME detections
             # at the scaled resolution — the 28x28 mask logits carry more
@@ -587,7 +593,7 @@ class Predictor:
                 flink_masks, flink_masks * flink_depth,
                 flink_masks.any(axis=(1, 2)), fdepth,
             )
-            return bundle, tgt_crop.astype(jnp.float32), fine_t
+            return bundle, tgt_crop, fine_t
 
         return prep
 
@@ -779,9 +785,19 @@ class Predictor:
                 masked[link] = link_mask * target_depth
 
         self._target = self._build_bundle(masks, masked, target_depth)
-        self._tgt_lookup_crop = jnp.asarray(
-            applyCrop(lookup_depth, self.crops[LOOKUP_NUM_RENDERED]), jnp.float32
-        )
+        crop_seg = applyCrop(lookup_depth, self.crops[LOOKUP_NUM_RENDERED])
+        if self.robust_tau is not None:
+            # Forced-robust synthetic mode: the render depth doubles as the
+            # raw-scene occlusion channel (engine._lookup_err).
+            crop_raw = applyCrop(
+                np.asarray(target_depth, np.float32),
+                self.crops[LOOKUP_NUM_RENDERED],
+            )
+            self._tgt_lookup_crop = jnp.asarray(
+                np.stack([crop_seg, crop_raw]), jnp.float32
+            )
+        else:
+            self._tgt_lookup_crop = jnp.asarray(crop_seg, jnp.float32)
         return target_color, target_depth, lookup_depth
 
     @staticmethod
@@ -796,6 +812,9 @@ class Predictor:
     def _segmentLoad(self, target_color, target_depth):
         """Mask R-CNN segmentation -> per-link masks (predict.py:415-442)."""
         self._fine_target = None  # callers rebuild it (stale-guard)
+        # Raw observed scene depth (pre-gating): the occlusion-evidence
+        # channel of the robust lookup target (engine._lookup_err).
+        raw_depth = np.asarray(target_depth, np.float32).copy()
         color_ds = self._downsample(target_color, self.ds_factor).astype(np.uint8)
         # RGB-D models consume the registered depth as a 4th channel.
         dep = target_depth if self.seg.cfg.in_channels == 4 else None
@@ -830,9 +849,16 @@ class Predictor:
                 )
 
         self._target = self._build_bundle(masks, masked, target_depth)
-        self._tgt_lookup_crop = jnp.asarray(
-            applyCrop(lookup_depth, self.crops[LOOKUP_NUM_RENDERED]), jnp.float32
-        )
+        crop_seg = applyCrop(lookup_depth, self.crops[LOOKUP_NUM_RENDERED])
+        if self.robust_tau is not None:
+            # 2-channel occlusion-aware lookup target: (seg-masked depth,
+            # raw scene depth) — see engine._lookup_err.
+            crop_raw = applyCrop(raw_depth, self.crops[LOOKUP_NUM_RENDERED])
+            self._tgt_lookup_crop = jnp.asarray(
+                np.stack([crop_seg, crop_raw]), jnp.float32
+            )
+        else:
+            self._tgt_lookup_crop = jnp.asarray(crop_seg, jnp.float32)
         return output, target_depth, lookup_depth
 
     # ------------------------------------------------------------ run

@@ -83,6 +83,53 @@ def test_lookup_error_matches_oracle():
     np.testing.assert_allclose(ours_t, oracle_t, rtol=1e-5)
 
 
+def test_occlusion_aware_lookup_ranks_occluded_truth_first():
+    """The 2-channel robust lookup metric (engine._lookup_err) must rank a
+    mostly-occluded TRUE pose above a small "hiding" pose that plain
+    truncated L1 prefers (round-4 cluttered failure mode: the within-3-deg
+    stack entry ranked 137-10792 because every occluded robot pixel cost
+    tau under the seg-only metric)."""
+    from ropes3d_tpu.prediction.engine import CandidateEvaluator
+
+    tau = 0.25
+    ch, cw = 8, 8
+    # Candidate A (true pose): silhouette cols 0-3 at depth 1.0 (sqrt 1.0).
+    A = np.zeros((ch, cw), np.float32)
+    A[:, 0:4] = 1.0
+    # Candidate B (wrong pose): covers only the detected fragment plus 4
+    # pixels sticking into observed free space.
+    B = np.zeros((ch, cw), np.float32)
+    B[6:8, 0:4] = 1.0
+    B[6:8, 4:6] = 1.0
+    stack_sqrt = jnp.asarray(np.stack([A, B]))  # already sqrt-domain
+
+    # Observed scene: occluder (raw 0.25 m) hides rows 0-5 of the robot;
+    # rows 6-7 detected at raw 1.0 m; background raw 4.0 m elsewhere.
+    seg = np.zeros((ch, cw), np.float32)
+    seg[6:8, 0:4] = 1.0
+    raw = np.full((ch, cw), 4.0, np.float32)
+    raw[0:6, 0:4] = 0.25
+    raw[6:8, 0:4] = 1.0
+
+    # Legacy single-channel robust: the truth pays tau for all 24 occluded
+    # pixels and loses to the hiding pose.
+    legacy = np.asarray(
+        CandidateEvaluator._lookup_err(jnp.asarray(seg), stack_sqrt, tau)
+    )
+    assert legacy[1] < legacy[0]
+
+    # Occlusion-aware 2-channel: occluded pixels are free (nearer surface),
+    # free-space violations cost tau -> the truth wins.
+    occ = np.asarray(
+        CandidateEvaluator._lookup_err(
+            jnp.asarray(np.stack([seg, raw])), stack_sqrt, tau
+        )
+    )
+    assert occ[0] < occ[1]
+    np.testing.assert_allclose(occ[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(occ[1], 4 * tau, rtol=1e-5)
+
+
 def test_cubic_spline_matches_scipy():
     from scipy.interpolate import interp1d
 
