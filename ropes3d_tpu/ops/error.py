@@ -34,12 +34,19 @@ class TargetBundle(NamedTuple):
     masked_depth : [6, H, W] float32 — per-link masked observed depth
     present : [6] bool — link was detected by the segmenter
     depth : [H, W] float32 — robot-body-masked observed depth
+    occ : [H, W] float32 or None — occlusion-evidence plane for the
+        robust error's occlusion-aware mode (see :func:`link_error`):
+        ``-1`` where the segmenter detected ANY robot link, ``0`` where
+        there is no depth evidence (sensor hole), ``> 0`` the raw
+        observed non-robot surface depth in meters.  ``None`` (parity
+        and plain-robust modes) disables occlusion awareness.
     """
 
     masks: jnp.ndarray
     masked_depth: jnp.ndarray
     present: jnp.ndarray
     depth: jnp.ndarray
+    occ: jnp.ndarray | None = None
 
 
 def _safe_mean_nonzero(x: jnp.ndarray) -> jnp.ndarray:
@@ -73,9 +80,32 @@ def link_error(
     each xor pixel at tau so the term scales with xor *count* (pose
     geometry) instead of depth magnitude, while small true residuals stay
     exact.  ``tau=None``/inf is bit-exact reference parity.
+
+    Robust + ``target.occ`` set — OCCLUSION-AWARE mode.  Plain robust
+    still charges the TRUE pose full xor for every robot pixel the
+    segmenter missed (occluded by clutter, or recall-dropped), so on
+    cluttered frames poses that "hide" can outrank it (round-4
+    diag_misrank2: final-error misranks with <=1-10% gaps were the
+    residual failure mode after the lookup fix).  With the occ plane
+    (semantics in :class:`TargetBundle`), a render-covered pixel the
+    segmenter did NOT claim is charged by free-space violation instead
+    of unconditionally:
+
+    - ``occ < 0`` (detected as another link): full charge — coverage
+      duty and mislabels keep their cost;
+    - ``occ == 0`` (sensor hole): no evidence, no charge;
+    - ``occ > 0``: charge ``min(max(occ - render, 0), tau)`` — an
+      observed surface BEHIND the hypothesized robot proves the robot
+      isn't there (the camera saw through it); a surface at or in front
+      of the render depth legitimately explains the missing detection
+      (occluder, or the undetected robot itself) and costs nothing.
+
+    Segmenter-claimed pixels keep their exact robust terms — the pose is
+    still scored by how well it covers every detected fragment.
     """
     render_depth = render_depth.astype(jnp.float32)
     robust = tau is not None
+    occl = robust and target.occ is not None
     tau = jnp.float32(jnp.inf if tau is None else tau)
 
     # Vectorised over the link axis (indices 1..5; base never scored) —
@@ -85,7 +115,27 @@ def link_error(
     score = link_active[li] & target.present[li]  # [5]
     joint_masks = target.masks[1:]  # [5, H, W]
     render_masks = render_link_id[None] == li[:, None, None]  # [5, H, W]
-    mask_errs = jnp.mean(joint_masks != render_masks, axis=(1, 2)) * 5.0
+    P = float(render_depth.shape[0] * render_depth.shape[1])
+    if occl:
+        # Graded charge for render-claimed, segmenter-unclaimed pixels
+        # (free-space violation; see docstring).  Detected-but-uncovered
+        # pixels keep the full coverage charge.
+        cpx = jnp.where(
+            target.occ < 0,
+            1.0,
+            jnp.where(
+                target.occ > 0,
+                jnp.minimum(jnp.maximum(target.occ - render_depth, 0.0), tau)
+                / tau,
+                0.0,
+            ),
+        )  # [H, W]
+        xor = jnp.sum(
+            (joint_masks & ~render_masks).astype(jnp.float32), axis=(1, 2)
+        ) + jnp.sum((render_masks & ~joint_masks) * cpx[None], axis=(1, 2))
+        mask_errs = xor / P * 5.0
+    else:
+        mask_errs = jnp.mean(joint_masks != render_masks, axis=(1, 2)) * 5.0
 
     target_masked = target.masked_depth[1:]  # [5, H, W]
     render_masked = render_depth[None] * render_masks
@@ -103,6 +153,21 @@ def link_error(
 
     diff = jnp.minimum(jnp.abs(target.depth - render_depth), tau)
     if robust:
+        if occl:
+            # Render over a body-depth hole: charge by free-space
+            # violation instead of the full |0 - render| truncation.
+            g2 = jnp.where(
+                target.occ < 0,
+                jnp.minimum(render_depth, tau),
+                jnp.where(
+                    target.occ > 0,
+                    jnp.minimum(
+                        jnp.maximum(target.occ - render_depth, 0.0), tau
+                    ),
+                    0.0,
+                ),
+            )
+            diff = jnp.where((target.depth == 0) & (render_depth > 0), g2, diff)
         # Sum-form global term: mean-over-nonzero saturates at tau once
         # every residual exceeds it, and the parity std factor then
         # COLLAPSES (std of a near-constant field -> 0), actively rewarding

@@ -282,15 +282,20 @@ def _raster_error_kernel(
     tmask_ref,  # VMEM [6, Hp, Wp] f32 — full target link masks (shared)
     tmasked_ref,  # VMEM [6, Hp, Wp] f32 — full target masked depth
     tdepth_ref,  # VMEM [Hp, Wp] f32 — full target body depth
-    parts_ref,  # VMEM out [1, 8, _PARTS_LANES] f32
-    *,
+    *rest,  # [tocc_ref,] parts_ref — occ plane present iff ``occl``
     n_chunks: int,
     h: int,
     w: int,
     hp: int,
     wp: int,
+    occl: bool = False,
 ):
     """Fused raster + error reduction, ONE grid program per candidate.
+
+    ``occl`` (static) enables the robust error's occlusion-aware mode:
+    an extra VMEM occ plane (TargetBundle.occ semantics) grades the
+    render-only xor/global charges by free-space violation — see
+    ops.error.link_error.  Only valid with finite tau.
 
     Every term of the reference error (predict.py:475-509) decomposes as
 
@@ -314,6 +319,8 @@ def _raster_error_kernel(
     (inverse-depth | link-id) key uses 0 as the background sentinel (a
     covered pixel's key is >= 2^23; an empty slot's is its link id < 8),
     which drops a per-chunk select from the hot loop."""
+    tocc_ref = rest[0] if occl else None
+    parts_ref = rest[-1]
     R = ERR_TILE_R
     C = 128  # lane width — reshapes must keep 128 lanes (Mosaic layout rule)
     n_rt = hp // R
@@ -401,9 +408,25 @@ def _raster_error_kernel(
             # Corrections on render-covered pixels (see kernel docstring).
             corr = []
             rms = [(hit & (lid == li)).astype(jnp.float32) for li in range(1, 6)]
+            if occl:
+                # Graded render-only charge (free-space violation;
+                # ops.error.link_error occlusion-aware mode).
+                to = tocc_ref[rs_, cs_]
+                cpx = jnp.where(
+                    to < 0.0,
+                    1.0,
+                    jnp.where(
+                        to > 0.0,
+                        jnp.minimum(jnp.maximum(to - depth, 0.0), tau) / tau,
+                        0.0,
+                    ),
+                )
             for li, rmf in zip(range(1, 6), rms):
                 tm = tmask_ref[li, rs_, cs_]
-                corr.append(jnp.sum(rmf) - 2.0 * jnp.sum(rmf * tm))
+                if occl:
+                    corr.append(jnp.sum(rmf * ((1.0 - tm) * cpx - tm)))
+                else:
+                    corr.append(jnp.sum(rmf) - 2.0 * jnp.sum(rmf * tm))
             for li, rmf in zip(range(1, 6), rms):
                 a = tmasked_ref[li, rs_, cs_]
                 ad = jnp.abs(a - depth)
@@ -428,7 +451,19 @@ def _raster_error_kernel(
             t = tdepth_ref[rs_, cs_]
             d = jnp.abs(t - depth)
             dt_, tt_ = jnp.minimum(d, tau), jnp.minimum(t, tau)
-            corr.append(jnp.sum(hitf * (dt_ - tt_)))
+            if occl:
+                g2 = jnp.where(
+                    to < 0.0,
+                    jnp.minimum(depth, tau),
+                    jnp.where(
+                        to > 0.0,
+                        jnp.minimum(jnp.maximum(to - depth, 0.0), tau),
+                        0.0,
+                    ),
+                )
+                corr.append(jnp.sum(hitf * jnp.where(t > 0.0, dt_ - tt_, g2)))
+            else:
+                corr.append(jnp.sum(hitf * (dt_ - tt_)))
             corr.append(
                 jnp.sum(
                     hitf
@@ -464,8 +499,9 @@ def _raster_error_kernel_hbm(
     coeffs_ref,  # VMEM [1, N, 12] f32 (per-candidate block, planar coefs)
     qrange_ref,  # VMEM [1, N, 2] f32
     lids_ref,  # VMEM [N, 1] i32 (shared)
-    target_ref,  # ANY/HBM [11, Hp, Wp] f32 — stacked target planes:
-    #   [0:5] link masks 1..5, [5:10] masked depth 1..5, [10] body depth
+    target_ref,  # ANY/HBM [11|12, Hp, Wp] f32 — stacked target planes:
+    #   [0:5] link masks 1..5, [5:10] masked depth 1..5, [10] body depth,
+    #   [11] occ plane (only when ``occl``)
     parts_ref,  # VMEM out [1, 8, _PARTS_LANES] f32
     *,
     n_chunks: int,
@@ -473,6 +509,7 @@ def _raster_error_kernel_hbm(
     w: int,
     hp: int,
     wp: int,
+    occl: bool = False,
 ):
     """High-resolution variant of :func:`_raster_error_kernel`.
 
@@ -573,9 +610,23 @@ def _raster_error_kernel_hbm(
 
             corr = []
             rms = [(hit & (lid == li)).astype(jnp.float32) for li in range(1, 6)]
+            if occl:
+                to = tgt[11]
+                cpx = jnp.where(
+                    to < 0.0,
+                    1.0,
+                    jnp.where(
+                        to > 0.0,
+                        jnp.minimum(jnp.maximum(to - depth, 0.0), tau) / tau,
+                        0.0,
+                    ),
+                )
             for li, rmf in zip(range(1, 6), rms):
                 tm = tgt[li - 1]
-                corr.append(jnp.sum(rmf) - 2.0 * jnp.sum(rmf * tm))
+                if occl:
+                    corr.append(jnp.sum(rmf * ((1.0 - tm) * cpx - tm)))
+                else:
+                    corr.append(jnp.sum(rmf) - 2.0 * jnp.sum(rmf * tm))
             for li, rmf in zip(range(1, 6), rms):
                 a = tgt[4 + li]
                 ad = jnp.abs(a - depth)
@@ -597,7 +648,19 @@ def _raster_error_kernel_hbm(
             t = tgt[10]
             d = jnp.abs(t - depth)
             dt_, tt_ = jnp.minimum(d, tau), jnp.minimum(t, tau)
-            corr.append(jnp.sum(hitf * (dt_ - tt_)))
+            if occl:
+                g2 = jnp.where(
+                    to < 0.0,
+                    jnp.minimum(depth, tau),
+                    jnp.where(
+                        to > 0.0,
+                        jnp.minimum(jnp.maximum(to - depth, 0.0), tau),
+                        0.0,
+                    ),
+                )
+                corr.append(jnp.sum(hitf * jnp.where(t > 0.0, dt_ - tt_, g2)))
+            else:
+                corr.append(jnp.sum(hitf * (dt_ - tt_)))
             corr.append(
                 jnp.sum(
                     hitf
@@ -622,7 +685,7 @@ def _raster_error_kernel_hbm(
     pl.run_scoped(
         run,
         pltpu.VMEM((ERR_TILE_R, 128), jnp.int32),
-        pltpu.VMEM((11, ERR_TILE_R, 128), jnp.float32),
+        pltpu.VMEM((12 if occl else 11, ERR_TILE_R, 128), jnp.float32),
         pltpu.SemaphoreType.DMA,
         pltpu.VMEM((1, 8, _PARTS_LANES), jnp.float32),
     )
@@ -642,6 +705,7 @@ def rasterize_error_pallas(
     row0=0,
     col0=0,
     tau=None,
+    tocc=None,  # [H, W] f32 occ plane (TargetBundle.occ) or None
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused render-and-reduce: -> error partials [B, NUM_PARTS].
@@ -655,13 +719,17 @@ def rasterize_error_pallas(
     ``tau`` truncates depth residuals at ``min(|diff|, tau)`` (robust mode
     for neural-segmented targets, see ops.error.link_error); ``None`` is
     bit-exact reference parity (internally +inf — every ``min`` is then an
-    identity).
+    identity).  ``tocc`` (requires finite tau) enables the occlusion-aware
+    robust mode: render-only charges are graded by free-space violation
+    against the occ plane (TargetBundle.occ semantics) — identical math to
+    ops.error.link_error's occlusion-aware branch.
 
     Backend selection by resolution: up to padded width 512 the target
     maps are VMEM-resident (one upfront block load, zero per-tile DMA);
     beyond that the streaming variant keeps them in HBM and DMAs each
     visited silhouette tile — same culling, O(tile) VMEM, any
     resolution."""
+    occl = tocc is not None and tau is not None
     tau = jnp.float32(jnp.inf if tau is None else tau)
     coeffs, qrange, vrange, link_ids = _pad_tris(
         coeffs, qrange, vrange, link_ids, chunk=ERR_CHUNK
@@ -695,6 +763,9 @@ def rasterize_error_pallas(
         tmasked.astype(jnp.float32), ((0, 0), (0, hp - h), (0, wp - w))
     )
     tdepth = jnp.pad(tdepth.astype(jnp.float32), ((0, hp - h), (0, wp - w)))
+    if occl:
+        # Pad value 0 = "no evidence" — padded pixels are never hit anyway.
+        tocc = jnp.pad(tocc.astype(jnp.float32), ((0, hp - h), (0, wp - w)))
 
     # Whole-frame target-only partials: what every error term reduces to on
     # an empty render.  The kernel starts its accumulator here and adds
@@ -746,23 +817,25 @@ def rasterize_error_pallas(
     )
     if resident:
         kernel = functools.partial(
-            _raster_error_kernel, n_chunks=n_chunks, h=h, w=w, hp=hp, wp=wp
+            _raster_error_kernel, n_chunks=n_chunks, h=h, w=w, hp=hp, wp=wp,
+            occl=occl,
         )
         tgt_specs = [
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+            for _ in range(4 if occl else 3)
         ]
-        tgt_args = (tmask, tmasked, tdepth)
+        tgt_args = (tmask, tmasked, tdepth) + ((tocc,) if occl else ())
     else:
         kernel = functools.partial(
             _raster_error_kernel_hbm, n_chunks=n_chunks, h=h, w=w, hp=hp,
-            wp=wp,
+            wp=wp, occl=occl,
         )
         # Stacked target planes stay in HBM; the kernel DMAs per-tile
         # blocks (indices 1..5 of masks/masked are the scored links).
         target_hbm = jnp.concatenate(
-            [tmask[1:6], tmasked[1:6], tdepth[None]], axis=0
+            [tmask[1:6], tmasked[1:6], tdepth[None]]
+            + ([tocc[None]] if occl else []),
+            axis=0,
         )
         tgt_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         tgt_args = (target_hbm,)

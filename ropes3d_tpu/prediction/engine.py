@@ -233,7 +233,7 @@ class CandidateEvaluator:
                 parts = rasterize_error_pallas(
                     coeffs, qrange, vrange, ids.astype(jnp.int32),
                     target.masks, target.masked_depth, target.depth, h, w,
-                    tau=tau,
+                    tau=tau, tocc=target.occ,
                 )
                 return link_error_from_parts(
                     parts, target, jnp.asarray(link_active), h * w, tau

@@ -218,7 +218,9 @@ class Predictor:
     def _downsample(self, base: np.ndarray, factor: int) -> np.ndarray:
         return np.asarray(downsample(jnp.asarray(base), factor))
 
-    def _build_bundle(self, masks: dict, masked: dict, tgt_depth: np.ndarray):
+    def _build_bundle(
+        self, masks: dict, masked: dict, tgt_depth: np.ndarray, occ=None
+    ):
         h, w = tgt_depth.shape
         m = np.zeros((6, h, w), bool)
         md = np.zeros((6, h, w), np.float32)
@@ -231,6 +233,7 @@ class Predictor:
         return TargetBundle(
             jnp.asarray(m), jnp.asarray(md), jnp.asarray(present),
             jnp.asarray(tgt_depth, jnp.float32),
+            None if occ is None else jnp.asarray(occ, jnp.float32),
         )
 
     def _prepare_synthetic_device(self):
@@ -547,8 +550,13 @@ class Predictor:
             link_depth = jax.vmap(
                 lambda m: gate_depth(m, tgt_depth, DEPTH_GATE_LINK)
             )(link_masks)
+            occ = (
+                jnp.where(union, -1.0, depth).astype(jnp.float32)
+                if self.robust_tau is not None
+                else None
+            )
             bundle = TargetBundle(
-                link_masks, link_masks * link_depth, present, tgt_depth
+                link_masks, link_masks * link_depth, present, tgt_depth, occ
             )
             tgt_crop = lookup_depth[
                 crop[0] : crop[1] + 1, crop[2] : crop[3] + 1
@@ -589,9 +597,18 @@ class Predictor:
             flink_depth = jax.vmap(
                 lambda m: gate_depth(m, fdepth, DEPTH_GATE_LINK)
             )(flink_masks)
+            focc = (
+                jnp.where(
+                    flink_masks.any(axis=0),
+                    -1.0,
+                    ds(depth_full, f // sc).astype(jnp.float32),
+                )
+                if self.robust_tau is not None
+                else None
+            )
             fine_t = TargetBundle(
                 flink_masks, flink_masks * flink_depth,
-                flink_masks.any(axis=(1, 2)), fdepth,
+                flink_masks.any(axis=(1, 2)), fdepth, focc,
             )
             return bundle, tgt_crop, fine_t
 
@@ -751,10 +768,15 @@ class Predictor:
             masked = np.stack([
                 m * self._gate_np(m, depth, DEPTH_GATE_LINK) for m in masks
             ])
+            occ = None
+            if self.robust_tau is not None:
+                occ = jnp.asarray(
+                    np.where(masks.any(axis=0), -1.0, fdepth), jnp.float32
+                )
             return TargetBundle(
                 jnp.asarray(masks), jnp.asarray(masked, jnp.float32),
                 jnp.asarray(masks.any(axis=(1, 2))),
-                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(depth, jnp.float32), occ,
             )
         return TargetBundle(
             jnp.asarray(masks), jnp.asarray(masks * depth[None], jnp.float32),
@@ -784,13 +806,29 @@ class Predictor:
                 masks[link] = link_mask
                 masked[link] = link_mask * target_depth
 
-        self._target = self._build_bundle(masks, masked, target_depth)
+        occ = None
+        if self.robust_tau is not None:
+            # Forced-robust synthetic occ plane: render background (depth
+            # 0) means "ray to infinity", genuine free-space evidence —
+            # encode it as a far surface so violations charge fully
+            # (real-sensor 0 = hole stays 'no evidence' in _segmentLoad).
+            union_all = np.zeros(target_depth.shape, bool)
+            for mk in masks.values():
+                union_all |= mk
+            occ = np.where(
+                union_all, -1.0, np.where(target_depth > 0, target_depth, 100.0)
+            ).astype(np.float32)
+        self._target = self._build_bundle(masks, masked, target_depth, occ)
         crop_seg = applyCrop(lookup_depth, self.crops[LOOKUP_NUM_RENDERED])
         if self.robust_tau is not None:
             # Forced-robust synthetic mode: the render depth doubles as the
-            # raw-scene occlusion channel (engine._lookup_err).
+            # raw-scene occlusion channel (engine._lookup_err); background
+            # (depth 0 = ray to infinity) is encoded as a far surface so
+            # free-space violations charge fully.
             crop_raw = applyCrop(
-                np.asarray(target_depth, np.float32),
+                np.where(target_depth > 0, target_depth, 100.0).astype(
+                    np.float32
+                ),
                 self.crops[LOOKUP_NUM_RENDERED],
             )
             self._tgt_lookup_crop = jnp.asarray(
@@ -827,6 +865,7 @@ class Predictor:
         union = np.zeros(target_depth.shape, bool)
         for k in seg_data:
             union |= seg_data[k]["mask"]
+        union_all = union  # pre-closure detection union (occ plane)
         body = np.asarray(close_mask(jnp.asarray(union), 8, 7))
         target_depth = self._gate_np(
             body, target_depth, DEPTH_GATE_BODY
@@ -848,7 +887,12 @@ class Predictor:
                     seg_data[link]["mask"], target_depth, DEPTH_GATE_LINK
                 )
 
-        self._target = self._build_bundle(masks, masked, target_depth)
+        occ = None
+        if self.robust_tau is not None:
+            # Occlusion-evidence plane (TargetBundle.occ): -1 on detected
+            # pixels, raw scene depth elsewhere (0 = sensor hole).
+            occ = np.where(union_all, -1.0, raw_depth).astype(np.float32)
+        self._target = self._build_bundle(masks, masked, target_depth, occ)
         crop_seg = applyCrop(lookup_depth, self.crops[LOOKUP_NUM_RENDERED])
         if self.robust_tau is not None:
             # 2-channel occlusion-aware lookup target: (seg-masked depth,

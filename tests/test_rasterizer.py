@@ -515,3 +515,139 @@ def test_fused_error_kernel_vmap_batched_target_interpret():
                   jax.tree.map(lambda x: x[k], targets))
         np.testing.assert_allclose(np.asarray(batched[k]), np.asarray(ref),
                                    rtol=1e-6)
+
+def test_fused_error_kernel_occlusion_matches_link_error_interpret():
+    """Occlusion-aware robust mode (TargetBundle.occ + finite tau): the
+    fused kernel's graded render-only charges must match the XLA
+    link_error branch, in both the VMEM-resident and streaming variants,
+    and the occ plane must actually change the result vs plain robust."""
+    from ropes3d_tpu.ops.error import (
+        TargetBundle,
+        link_error,
+        link_error_from_parts,
+    )
+    from ropes3d_tpu.ops.rasterizer import triangle_setup
+    from ropes3d_tpu.ops.rasterizer_pallas import rasterize_error_pallas
+
+    tris = np.array(
+        [
+            [[-1, -1, -2], [1, -1, -2], [0, 1, -2]],
+            [[-0.5, -0.5, -1.5], [0.5, -0.5, -1.5], [0, 0.7, -1.5]],
+            [[-0.2, -0.8, -1.2], [0.8, -0.6, -1.3], [0.2, 0.5, -1.2]],
+        ],
+        np.float32,
+    )
+    link_ids = jnp.array([1, 2, 3], jnp.int32)
+    valid = jnp.array([True, True, True])
+    tau = 0.05
+
+    for h, w, f in ((24, 40, 20.0), (368, 640, 150.0)):  # resident / stream
+        cx, cy = w / 2.0, h / 2.0
+
+        def setup(scale):
+            # Scale x/y only: a uniform scale preserves the projected
+            # silhouette (x/z invariant) — the candidates must SPILL
+            # outside the detected masks to exercise the occ grading.
+            sc = jnp.asarray([scale, scale, 1.0], jnp.float32)
+            cam = transform_vertices(
+                jnp.asarray(tris) * sc, link_ids,
+                jnp.stack([jnp.eye(4)] * 4), jnp.eye(4),
+            )
+            return triangle_setup(cam, valid, f, f, cx, cy)
+
+        t_coeffs, t_qrange, _, _ = setup(1.0)
+        t_depth, t_lid = rasterize(t_coeffs, t_qrange, link_ids, h, w)
+        masks = jnp.stack([t_lid == i for i in range(6)])
+        # Mixed-evidence occ plane: detected (-1) on mask pixels, a sensor
+        # hole band (0), an occluder in front (0.8 m), and far background
+        # (3.0 m) elsewhere — exercises every branch of the graded charge.
+        # Occluder (0.8 m, in front of the ~1.2-2 m renders) over most of
+        # the frame so the 1.1-scale candidate's spill outside the detected
+        # mask is forgiven; hole band on top, far background on the right.
+        occ_np = np.full((h, w), 0.8, np.float32)
+        occ_np[: h // 5] = 0.0
+        occ_np[:, 3 * w // 4 :] = 3.0
+        occ_np[np.asarray(masks.any(axis=0))] = -1.0
+        occ = jnp.asarray(occ_np)
+        target = TargetBundle(
+            masks,
+            (masks * t_depth[None]).astype(jnp.float32),
+            masks.any(axis=(1, 2)),
+            t_depth.astype(jnp.float32),
+            occ,
+        )
+
+        cands = [setup(0.9), setup(1.1)]
+        coeffs = jnp.stack([c[0] for c in cands])
+        qrange = jnp.stack([c[1] for c in cands])
+        vrange = jnp.stack([c[2] for c in cands])
+        la = jnp.asarray((np.arange(6) >= 1) & (np.arange(6) < 6))
+        parts = rasterize_error_pallas(
+            coeffs, qrange, vrange, link_ids,
+            target.masks, target.masked_depth, target.depth, h, w, tau=tau,
+            tocc=occ, interpret=True,
+        )
+        e_fused = np.asarray(
+            link_error_from_parts(parts, target, la, h * w, tau)
+        )
+        plain = target._replace(occ=None)
+        for b in range(2):
+            d, l = rasterize(cands[b][0], cands[b][1], link_ids, h, w)
+            e_ref = float(link_error(target, d, l, la, tau))
+            # rtol 5e-5: the graded charge's /tau adds one f32 rounding per
+            # pixel and the kernel sums per-tile (different add order).
+            np.testing.assert_allclose(e_fused[b], e_ref, rtol=5e-5)
+            # occ must matter: plain robust differs on these scenes.
+            assert abs(float(link_error(plain, d, l, la, tau)) - e_ref) > 1e-6
+
+
+def test_link_error_occlusion_ranks_occluded_truth_first():
+    """Semantic guard for the occlusion-aware final error: a TRUE pose
+    whose lower links are hidden behind an occluder must outrank a small
+    'hiding' pose under the occ-aware robust error, while plain robust
+    prefers the hiding pose (the round-4 cluttered misrank mode)."""
+    from ropes3d_tpu.ops.error import TargetBundle, link_error
+
+    h, w = 16, 16
+    tau = 0.1
+    la = jnp.asarray((np.arange(6) >= 1) & (np.arange(6) < 6))
+
+    # True robot: link 1 occupies cols 0-7, depth 1.5 m.  The segmenter
+    # detected only rows 12-15 (the rest hidden behind a 0.5 m occluder).
+    det = np.zeros((h, w), bool)
+    det[12:16, 0:8] = True
+    tgt_depth = np.where(det, 1.5, 0.0).astype(np.float32)
+    masks = np.zeros((6, h, w), bool)
+    masks[1] = det
+    occ_np = np.full((h, w), 4.0, np.float32)  # background behind
+    occ_np[0:12, 0:8] = 0.5  # occluder hides the upper robot
+    occ_np[det] = -1.0
+    target = TargetBundle(
+        jnp.asarray(masks),
+        jnp.asarray(masks * tgt_depth[None], np.float32),
+        jnp.asarray(masks.any(axis=(1, 2))),
+        jnp.asarray(tgt_depth),
+        jnp.asarray(occ_np),
+    )
+
+    # Render A = true pose (full column strip at 1.5 m), B = hiding pose
+    # (covers only the detected fragment, plus a sliver into free space).
+    lid_A = np.where(
+        np.zeros((h, w), bool) | (np.arange(w)[None, :] < 8), 1, -1
+    ).astype(np.int32)
+    d_A = np.where(lid_A == 1, 1.5, 0.0).astype(np.float32)
+    lid_B = np.full((h, w), -1, np.int32)
+    lid_B[12:16, 0:10] = 1  # fragment + 2 cols sticking into background
+    d_B = np.where(lid_B == 1, 1.5, 0.0).astype(np.float32)
+
+    e_occ = [
+        float(link_error(target, jnp.asarray(d), jnp.asarray(l), la, tau))
+        for d, l in ((d_A, lid_A), (d_B, lid_B))
+    ]
+    plain = target._replace(occ=None)
+    e_plain = [
+        float(link_error(plain, jnp.asarray(d), jnp.asarray(l), la, tau))
+        for d, l in ((d_A, lid_A), (d_B, lid_B))
+    ]
+    assert e_plain[1] < e_plain[0], "plain robust should prefer hiding pose"
+    assert e_occ[0] < e_occ[1], "occ-aware must rank the occluded truth first"
