@@ -82,6 +82,19 @@ DEPTH_GATE_LINK = 0.45  # m, half-window around each link's median
 # truncate (tau=None -> +inf in the kernels, bit-exact reference formula).
 ERROR_ROBUST_TAU = 0.1  # m
 
+# Early-stop scaling in robust mode: the descent's relative-improvement
+# stop (reference predict.py:223-230 — stop when the error history's drift
+# is < early_stop_thresh of the TOTAL error) assumes the error goes to ~0
+# at convergence.  Cluttered/neural targets carry an irreducible robust
+# floor (err(true pose) ~ 1-3, assets/diag_misrank2.py), which inflates
+# the denominator and halts descent while real angular progress is still
+# being made (measured: seeded 2-6-deg-away starts ending 2-33 deg off,
+# with err(returned) > err(true)).  In robust mode every Descent stage's
+# early_stop_thresh is multiplied by this scale; 0.0 disables the relative
+# test entirely, leaving the step-collapse + history-stall stops (c2/c3)
+# and the iteration cap to terminate.  Parity (tau=None) lanes unaffected.
+ROBUST_EARLY_STOP_SCALE = 0.0
+
 # Fine-polish pass: after the staged recipe, a pattern search evaluated at
 # FINE_POLISH_SCALE x the working resolution (target prepared at the same
 # scale inside the fused program).  The working-res error landscape

@@ -468,7 +468,7 @@ class CandidateEvaluator:
             target,
             jnp.int32(stage.its),
             jnp.float32(stage.rate_redux),
-            jnp.float32(stage.early_stop),
+            jnp.float32(self._early_stop(stage.early_stop)),
             jnp.asarray(init_rate),
         )
 
@@ -568,6 +568,21 @@ class CandidateEvaluator:
         )
         rng = jnp.float32(np.nan if stage.range is None else stage.range)
         return f(state, self._w2c, tgt_depth, jnp.int32(joint_idx), rng)
+
+    def _early_stop(self, early: float) -> float:
+        """Descent early_stop_thresh, scaled down in robust mode.
+
+        The relative-improvement stop divides by the TOTAL error
+        (reference predict.py:223-230), which assumes err -> ~0 at
+        convergence.  Robust/cluttered targets have an irreducible error
+        floor at the true pose, so the test fires while the descent is
+        still making real angular progress (config.ROBUST_EARLY_STOP_SCALE
+        documents the measurement).  Parity lanes (tau=None) unscaled."""
+        if self.robust_tau is None:
+            return float(early)
+        from ..config import ROBUST_EARLY_STOP_SCALE
+
+        return float(early) * float(ROBUST_EARLY_STOP_SCALE)
 
     # ------------------------------------------------------------ lookup
     def _lookup_tau(self):
@@ -830,7 +845,7 @@ class CandidateEvaluator:
             )
             return fn(
                 state, w2c, target, jnp.int32(its),
-                jnp.float32(redux), jnp.float32(early), ir,
+                jnp.float32(redux), jnp.float32(self._early_stop(early)), ir,
             )
         if kind == "isweep":
             _, to_render, divs, rng_, joints = skey
@@ -866,6 +881,7 @@ class CandidateEvaluator:
         history_length: int,
         final_render: int = 6,
         seeded: bool = False,
+        return_k: bool = False,
     ):
         """Compile an entire stage recipe into ONE device program.
 
@@ -880,7 +896,18 @@ class CandidateEvaluator:
         (vmapped over the remaining stages) and returns the lowest-error
         hypothesis.  ``batched`` vmaps the whole recipe over a leading frame
         axis (the workload's data-parallel axis, SURVEY.md §2.9).
+
+        ``return_k`` (single-frame topk recipes only) returns the final_m
+        survivor hypotheses as ``(angles [m, 6], errors [m])`` instead of
+        selecting a winner — the caller re-ranks them at a higher-fidelity
+        objective (the predictor's fine-resolution re-rank; the working-res
+        errors of wrong-basin survivors measure within ~2-4%% of the truth
+        basin on cluttered frames, assets/diag_misrank2.py).
         """
+        if return_k:
+            assert not batched and topk > 1, (
+                "return_k: single-frame topk recipes only"
+            )
         lookup_pos = next(
             (i for i, sk in enumerate(key) if sk[0] == "lookup"), None
         )
@@ -955,29 +982,29 @@ class CandidateEvaluator:
                 state = self._apply_stage(sk, state, w2c, target, cam_pose, jacobi)
             return state
 
-        def topk_post(seeds, w2c, target, cam_pose):
-            """seeds [k, 6] -> (angles [6], final error scalar)."""
+        def topk_survivors(seeds, w2c, target, cam_pose):
+            """seeds [k, 6] -> (angles [m, 6], errors [m]): the final_m
+            survivor hypotheses after the staged search (m = k when the
+            recipe has no final-descent split)."""
             states = jax.vmap(
                 run_cheap_state, in_axes=(0, None, None, None)
             )(seeds, w2c, target, cam_pose)
             errs = eval6(states.angles, w2c, target)
             if not post_final:
-                win = jnp.argmin(errs)
-                return (
-                    jax.tree.map(lambda x: x[win], states).angles,
-                    errs[win],
-                )
+                return states.angles, errs
             _, idx = jax.lax.top_k(-errs, final_m)
             survivors = jax.tree.map(lambda x: x[idx], states)
             survivors = jax.vmap(
                 run_final_state, in_axes=(0, None, None, None)
             )(survivors, w2c, target, cam_pose)
             errs_f = eval6(survivors.angles, w2c, target)
-            win = jnp.argmin(errs_f)
-            return (
-                jax.tree.map(lambda x: x[win], survivors).angles,
-                errs_f[win],
-            )
+            return survivors.angles, errs_f
+
+        def topk_post(seeds, w2c, target, cam_pose):
+            """seeds [k, 6] -> (angles [6], final error scalar)."""
+            angs, errs = topk_survivors(seeds, w2c, target, cam_pose)
+            win = jnp.argmin(errs)
+            return angs[win], errs[win]
 
         eval6 = self._eval_fn(final_render)
 
@@ -994,6 +1021,8 @@ class CandidateEvaluator:
 
             def single_seeded(w2c, cam_pose, target, seeds):
                 if topk > 1:
+                    if return_k:
+                        return topk_survivors(seeds, w2c, target, cam_pose)
                     best, _ = topk_post(seeds, w2c, target, cam_pose)
                     return best
                 return run_post(seeds, w2c, target, cam_pose)
@@ -1027,6 +1056,8 @@ class CandidateEvaluator:
                 return state.angles
             seeds = lookup_one(tgt_crop, lookup_sqrt, lookup_angles)
             if topk > 1:
+                if return_k:
+                    return topk_survivors(seeds, w2c, target, cam_pose)
                 best, _ = topk_post(seeds, w2c, target, cam_pose)
                 return best
             return run_post(seeds, w2c, target, cam_pose)

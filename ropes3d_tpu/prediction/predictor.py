@@ -439,19 +439,35 @@ class Predictor:
         element — the FINE_POLISH_SCALE-resolution target built from the
         same inputs (and, for the neural lane, the same single detector
         forward) — and the fine pattern search runs inside the same
-        dispatch."""
+        dispatch.
+
+        In ROBUST mode with ``fine`` AND ``topk`` > 1 the winner is picked
+        by a FINE-RESOLUTION RE-RANK: the recipe returns the final_m
+        survivor hypotheses (engine ``return_k``), each is fine-polished,
+        and the argmin of their fine-target errors is returned.  At the
+        working resolution wrong-basin survivors measure within ~2-4% of
+        the truth basin on cluttered neural targets (assets/diag_misrank2.py
+        'MISRANK' class) — 2x evaluation breaks those ties for one extra
+        batched eval + one extra vmapped polish.  Parity lanes
+        (robust_tau=None) keep the reference's working-res selection so the
+        fused program stays step-equivalent to the stepwise stage loop."""
         from .engine import _stage_key
 
+        rerank = bool(fine) and topk > 1 and self.robust_tau is not None
         recipe = self.engine._recipe_fn(
             _stage_key(self.stages),
             topk,
             self.search_mode == "fast",
             False,
             self.history_length,
+            return_k=rerank,
         )
         w2c = self.engine._w2c
         cam_vec = jnp.asarray(self.camera_pose, jnp.float32)
         fine_fn = self._fine_polish_core() if fine else None
+        eval_fine = (
+            self.engine._eval_fn(6, self.fine_scale) if rerank else None
+        )
 
         @jax.jit
         def run1(a_full, b_full, lookup_depth, lookup_angles):
@@ -461,7 +477,15 @@ class Predictor:
                 w2c, cam_vec, bundle, crop, lookup_depth, lookup_angles
             )
             if fine_fn is not None:
-                out = fine_fn(out[:6], w2c, res[2])
+                if rerank:
+                    angs, _ = out  # [m, 6] survivors
+                    polished = jax.vmap(fine_fn, in_axes=(0, None, None))(
+                        angs, w2c, res[2]
+                    )
+                    errs = eval_fine(polished, w2c, res[2])
+                    out = polished[jnp.argmin(errs)]
+                else:
+                    out = fine_fn(out[:6], w2c, res[2])
             return out
 
         return run1

@@ -99,3 +99,23 @@ def test_sflip_program_keeps_better(setup):
     state2 = engine.sflip(state, target, SFlip(6))
     err_after = engine.evaluate(np.asarray(state2.angles)[None], target, 6)[0]
     assert err_after <= err_before + 1e-5
+
+
+def test_robust_early_stop_scaled(setup):
+    """In robust mode the descent's relative-improvement early stop is
+    scaled by config.ROBUST_EARLY_STOP_SCALE: the cluttered error floor
+    inflates its denominator and would halt descent mid-progress (see
+    config.py).  Parity evaluators (tau=None) must pass thresholds
+    through unchanged."""
+    from ropes3d_tpu.camera import Intrinsics
+    from ropes3d_tpu.config import ROBUST_EARLY_STOP_SCALE
+    from ropes3d_tpu.prediction.engine import CandidateEvaluator
+    from ropes3d_tpu.robot import URDFReader
+
+    engine, _, _ = setup
+    assert engine.robust_tau is None
+    assert engine._early_stop(0.1) == 0.1
+    robust = CandidateEvaluator(
+        CAM, Intrinsics("640_480_color_16"), urdf=URDFReader(), robust_tau=0.1
+    )
+    assert robust._early_stop(0.1) == 0.1 * ROBUST_EARLY_STOP_SCALE

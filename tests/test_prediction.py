@@ -257,6 +257,26 @@ def test_fused_programs_trace(synth):
     out = jax.eval_shape(run4, a, b, p.lookup_depth, p.lookup_angles)
     assert out.shape == (6,)
 
+    # Robust fine re-rank: with robust_tau set + fine target + topk>1 the
+    # fused program must pick the winner by re-ranking the final_m survivor
+    # hypotheses at FINE_POLISH_SCALE x resolution (predictor._fused_run).
+    if p.fine_scale:
+        old_tau = p.robust_tau
+        p.robust_tau = 0.1
+        try:
+            base_prep = p._synth_prep_core()
+            fine_prep = p._synth_prep_fine_core()
+
+            def prep3(x, y):
+                bundle, crop = base_prep(x, y)
+                return bundle, crop, fine_prep(x, y)
+
+            runr = p._fused_run(prep3, topk=4, fine=True)
+            out = jax.eval_shape(runr, a, b, p.lookup_depth, p.lookup_angles)
+            assert out.shape == (6,)
+        finally:
+            p.robust_tau = old_tau
+
     # Frame-vmapped prep (run_batch_synthetic's target load).
     if not hasattr(p, "_synth_prep"):
         p._synth_prep = p._prepare_synthetic_device()
