@@ -31,7 +31,7 @@ def main():
     from ropes3d_tpu.data.dataset import Dataset, DatasetInfo
 
     Paths().create()
-    if name not in DatasetInfo().compiled_sets():
+    if name not in DatasetInfo().compiled_sets:
         from ropes3d_tpu.data.synth_capture import record_synthetic_dataset
 
         t0 = time.time()

@@ -69,7 +69,7 @@ class Predictor:
         model_ds: str = "set10",
         color_dict: Optional[dict] = None,
         search_mode: str = "parity",
-        lookup_topk=4,
+        lookup_topk="auto",
         fine_polish: bool = True,
         robust_tau: float = "auto",
     ):
@@ -81,20 +81,27 @@ class Predictor:
 
         ``lookup_topk``: number of lookup seeds explored as parallel
         hypotheses (the reference's single-seed lookup falls into wrong
-        basins, predict.py:163-171).  The default 4 uses the STAGED
-        schedule (config.TOPK_FINAL): all seeds run the cheap early
-        stages, the best 2 survivors run the final descent + polish —
-        measured 0.27 deg median / 1.15 p90 on 200 synthetic frames vs
-        0.40/2.02 single-seed, for ~25% more device time.  k = 1 forces
-        pure single-seed.  (A confidence-triggered "auto" escape mode was
-        measured and removed: the top-k advantage is a broad best-of-k
-        improvement, not a detectable tail — no trigger feature (global
-        error ratio, per-link ratios, lookup margins) recovered the top-k
-        median at any re-run fraction, assets/diag_escape_feats.py.)"""
+        basins, predict.py:163-171).  Uses the STAGED schedule
+        (config.TOPK_FINAL): all seeds run the cheap early stages, the
+        best 2 survivors run the final descent + polish.  ``"auto"``
+        (default) resolves to 4 on synthetic targets (0.27 deg median /
+        1.15 p90 on 200 synthetic frames vs 0.40/2.02 single-seed, ~25%
+        more device time) and 8 on neural targets — cluttered scenes
+        misrank more seeds, and the extra cheap-stage hypotheses are free
+        next to segmentation + final descent (40-frame cluttered harness:
+        k=8 median 0.170 deg / p90 6.7 at p50 213 ms vs k=4
+        0.207/8.1 at 219 ms).  k = 1 forces pure single-seed.  (A
+        confidence-triggered escape mode was measured and removed: the
+        top-k advantage is a broad best-of-k improvement, not a detectable
+        tail — no trigger feature (global error ratio, per-link ratios,
+        lookup margins) recovered the top-k median at any re-run fraction,
+        assets/diag_escape_feats.py.)"""
         assert search_mode in ("fast", "parity")
         self.search_mode = search_mode
         # lookup_topk > 1 refines the best k lookup seeds in parallel
         # (hypothesis-batched stages) and keeps the lowest-error result.
+        if lookup_topk == "auto":
+            lookup_topk = 4 if color_dict is not None else 8
         self.lookup_topk = int(lookup_topk)
         self.ds_factor, self.preview = ds_factor, preview
         self.do_angles = do_angles.upper()
