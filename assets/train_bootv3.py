@@ -12,6 +12,14 @@ and schedule as bootv2 otherwise, with camera-distance scale augmentation
 
 Usage:  python assets/train_bootv3.py [--steps N] [--resume ckpt_dir]
         python assets/train_bootv3.py --eval-only   # IoU table for newest ckpt
+
+Transfer recipe (preferred — the reference's COCO-transfer pattern,
+robotpose/training/__init__.py:10-15, applied to our own base): init from
+bootv2's RGB weights with the stem conv zero-padded to 4 channels
+(assets/init_bootv3_from_bootv2.py), then a short RGB-D fine-tune:
+    python assets/init_bootv3_from_bootv2.py
+    python assets/train_bootv3.py --resume models/bootv3/ckpt_0000 \
+        --steps 6000 --peak-lr 2e-3
 """
 
 import argparse
@@ -28,7 +36,8 @@ sys.path.insert(0, os.environ["ROPES3D_ROOT"])
 import numpy as np
 
 
-def register(out_dir: str, steps_done: int, iou_notes: str) -> None:
+def register(out_dir: str, steps_done: int, iou_notes: str,
+             transfer: bool = False) -> None:
     """Write bootv3's per-dir ModelData.json and refresh models.json.
 
     ModelData.json is the canonical registry source — ModelInfo.update()
@@ -48,7 +57,15 @@ def register(out_dir: str, steps_done: int, iou_notes: str) -> None:
         "date": datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
         "notes": (
             f"RGB-D synthetic-pretrained base model v3 (ResNet-101 @512, "
-            f"in_channels=4, {steps_done} steps on-device domain-randomized "
+            f"in_channels=4, "
+            + (
+                f"transfer-initialised from bootv2's RGB weights with a "
+                f"zero-padded depth stem, then {steps_done} RGB-D fine-tune "
+                f"steps"
+                if transfer
+                else f"{steps_done} steps"
+            )
+            + f" on-device domain-randomized "
             f"pipeline with z-buffered depth compositing + depth sensor "
             f"model, camera-distance scale aug 0.62-1.1). {iou_notes} "
             f"Fine-tune on real RGB-D captures via train.py -cont_from bootv3."
@@ -78,6 +95,9 @@ def main():
     ap.add_argument("--steps", type=int, default=14000)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--peak-lr", type=float, default=8e-3)
+    ap.add_argument("--warmup", type=int, default=300)
+    ap.add_argument("--ckpt-every", type=int, default=2000)
     ap.add_argument("--eval-only", action="store_true")
     args = ap.parse_args()
 
@@ -97,13 +117,15 @@ def main():
         batch=args.batch,
         cfg=cfg,
         out_dir=out_dir,
+        peak_lr=args.peak_lr,
+        warmup_steps=args.warmup,
         dist_range=(0.62, 1.1),
         resume_from=args.resume,
-        ckpt_every=2000,
+        ckpt_every=args.ckpt_every,
     )
     print("final ckpt:", path, flush=True)
     notes = evaluate(out_dir)
-    register(out_dir, args.steps, notes)
+    register(out_dir, args.steps, notes, transfer=bool(args.resume))
     print("registered bootv3:", notes)
 
 
