@@ -165,7 +165,9 @@ class Trainer:
 
     def load(self, path: str) -> None:
         import orbax.checkpoint as ocp
+        import os
 
+        path = os.path.abspath(path)  # orbax requires absolute paths
         ckptr = ocp.StandardCheckpointer()
         target = {
             "params": jax.device_get(self.state.params),
