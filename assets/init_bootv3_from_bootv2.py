@@ -36,13 +36,34 @@ def pad_stem(tree, found):
     return arr
 
 
+def newest_ckpt(model_dir):
+    """Highest-numbered checkpoint dir (same rule evaluate() uses)."""
+    idx = [
+        int(f.split("_")[1])
+        for f in os.listdir(model_dir)
+        if f.startswith("ckpt_") and f.split("_")[1].isdigit()
+    ]
+    if not idx:
+        raise FileNotFoundError(f"no ckpt_NNNN in {model_dir}")
+    return os.path.join(model_dir, f"ckpt_{max(idx):04d}")
+
+
 def main():
+    import argparse
+
     import orbax.checkpoint as ocp
 
     from ropes3d_tpu.config import Paths
 
-    src = os.path.join(Paths().MODELS, "bootv2", "ckpt_0004")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--force", action="store_true",
+                    help="overwrite an existing destination ckpt")
+    args = ap.parse_args()
+
+    src = newest_ckpt(os.path.join(Paths().MODELS, "bootv2"))
     dst = os.path.join(Paths().MODELS, "bootv3", "ckpt_0000")
+    if os.path.exists(dst) and not args.force:
+        raise SystemExit(f"{dst} exists; pass --force to overwrite")
     ckptr = ocp.StandardCheckpointer()
     raw = ckptr.restore(src)
     found = []

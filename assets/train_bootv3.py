@@ -75,13 +75,15 @@ def register(out_dir: str, steps_done: int, iou_notes: str,
     ModelInfo()  # rebuild models.json (prunes old ckpts too)
 
 
-def evaluate(out_dir: str) -> str:
-    from ropes3d_tpu.training.bootstrap import eval_segmenter_iou, resolve_base_model
+def evaluate(out_dir: str, ckpt: str = None) -> str:
+    """IoU table for ``ckpt`` (default: highest-numbered ckpt in out_dir)."""
+    from ropes3d_tpu.training.bootstrap import eval_segmenter_iou
 
-    ckpts = sorted(
-        f for f in os.listdir(out_dir) if f.startswith("ckpt_")
-    )
-    ckpt = os.path.join(out_dir, ckpts[-1])
+    if ckpt is None:
+        ckpts = sorted(
+            f for f in os.listdir(out_dir) if f.startswith("ckpt_")
+        )
+        ckpt = os.path.join(out_dir, ckpts[-1])
     rows = []
     for thr in (0.0, 100.0, 400.0):
         iou = eval_segmenter_iou(ckpt, n=32, cluttered=True, min_gt_area=thr)
@@ -107,8 +109,9 @@ def main():
 
     out_dir = os.path.join(Paths().MODELS, "bootv3")
     if args.eval_only:
-        notes = evaluate(out_dir)
-        register(out_dir, args.steps, notes)
+        # Print-only: re-registering here would rewrite ModelData notes
+        # with argparse defaults (wrong provenance — ADVICE round 4).
+        print(evaluate(out_dir))
         return
 
     cfg = MaskRCNNConfig(num_classes=7, depth=101, in_channels=4)
@@ -124,7 +127,10 @@ def main():
         ckpt_every=args.ckpt_every,
     )
     print("final ckpt:", path, flush=True)
-    notes = evaluate(out_dir)
+    # Evaluate/register THIS run's final checkpoint, not whatever sorts
+    # last in the directory (ADVICE round 4: stale scratch ckpts used to
+    # outsort a resumed fine-tune's output).
+    notes = evaluate(out_dir, ckpt=path)
     register(out_dir, args.steps, notes, transfer=bool(args.resume))
     print("registered bootv3:", notes)
 

@@ -212,7 +212,18 @@ def bootstrap_base_model_device(
             f,
         )
     key = jax.random.PRNGKey(seed + 1)
-    ck = 0
+    # Checkpoint numbering continues above anything already in out_dir —
+    # a transfer/resume run must not emit indices that sort below stale
+    # scratch checkpoints (registry pruning keeps the highest-numbered
+    # three, so a restarted counter would get the new weights pruned and
+    # a stale model registered; see ADVICE round 4).
+    existing = [
+        int(f.split("_")[1])
+        for f in os.listdir(out_dir)
+        if f.startswith("ckpt_") and f.split("_")[1].isdigit()
+    ]
+    ck = max(existing, default=-1)
+    path = None
     for step in range(1, num_steps + 1):
         key, sub = jax.random.split(key)
         b = pipeline.batch(sub, batch)
