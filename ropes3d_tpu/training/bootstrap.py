@@ -168,6 +168,7 @@ def bootstrap_base_model_device(
     ckpt_every: int = 1000,
     resume_from: Optional[str] = None,
     dist_range: Tuple[float, float] = (1.0, 1.0),
+    pipeline_kwargs: Optional[dict] = None,
 ) -> str:
     """Pretrain the base segmenter with the on-device domain-randomized
     pipeline (``synth_data.DeviceSynthPipeline``) and a warmup-cosine SGD
@@ -184,7 +185,7 @@ def bootstrap_base_model_device(
     cfg = cfg or MaskRCNNConfig(num_classes=7, depth=101)
     pipeline = DeviceSynthPipeline(
         cfg, base_intrin=base_intrin, camera_jitter=camera_jitter,
-        dist_range=dist_range,
+        dist_range=dist_range, **(pipeline_kwargs or {}),
     )
     out_dir = out_dir or os.path.dirname(Paths().BASE_MODEL)
     os.makedirs(out_dir, exist_ok=True)

@@ -57,6 +57,7 @@ class DeviceSynthPipeline:
         num_distractors: int = 6,
         max_tris_per_link: int = None,
         dist_range: Tuple[float, float] = (1.0, 1.0),
+        hard_clutter: bool = False,
     ):
         """``dist_range``: per-sample uniform scale on the camera position
         vector — <1 moves the camera closer.  Scale augmentation targets
@@ -68,6 +69,12 @@ class DeviceSynthPipeline:
         self.camera_jitter = float(camera_jitter)
         self.num_distractors = int(num_distractors)
         self.dist_range = (float(dist_range[0]), float(dist_range[1]))
+        # hard_clutter (training-only knob; the IoU eval harness keeps the
+        # round-3/4 distribution): distractors get per-shape texture
+        # (gradient + stripes + speckle) and a third shape class — capsules,
+        # the robot-link lookalike — so flat-color-blob rejection stops
+        # being a sufficient strategy.
+        self.hard_clutter = bool(hard_clutter)
 
         mh, mw = cfg.image_hw
         # Render at the letterboxed-into-model-frame resolution directly:
@@ -146,11 +153,13 @@ class DeviceSynthPipeline:
             + rows[..., 0] / self.rh * bgs[1]
         )
 
-        # --- distractor shapes (rectangles + ellipses) at random depths
-        # 0.7-4.5 m; z-buffered, so near ones occlude the robot later.
+        # --- distractor shapes (rectangles + ellipses; + capsules and
+        # per-shape texture under hard_clutter) at random depths 0.7-4.5 m;
+        # z-buffered, so near ones occlude the robot later.
         dk = jax.random.split(ks[4], self.num_distractors)
+        yy_, xx_ = rows[..., 0], cols[..., 0]
         for i in range(self.num_distractors):
-            kk = jax.random.split(dk[i], 7)
+            kk = jax.random.split(dk[i], 14)
             cy_ = jax.random.uniform(kk[0], (), minval=0.0, maxval=self.rh)
             cx_ = jax.random.uniform(kk[1], (), minval=0.0, maxval=self.rw)
             hh = jax.random.uniform(kk[2], (), minval=8.0, maxval=self.rh / 3)
@@ -158,15 +167,52 @@ class DeviceSynthPipeline:
             col = jax.random.uniform(kk[4], (3,), minval=0.0, maxval=255.0)
             is_ellipse = jax.random.bernoulli(kk[5])
             z = jax.random.uniform(kk[6], (), minval=0.7, maxval=4.5)
-            dy = (rows[..., 0] - cy_) / hh
-            dx = (cols[..., 0] - cx_) / ww
+            dy = (yy_ - cy_) / hh
+            dx = (xx_ - cx_) / ww
             inside = jnp.where(
                 is_ellipse,
                 dy * dy + dx * dx <= 1.0,
                 (jnp.abs(dy) <= 1.0) & (jnp.abs(dx) <= 1.0),
             )
+            if self.hard_clutter:
+                # Capsule (thick line segment): the link-shaped occluder.
+                ang = jax.random.uniform(kk[7], (), minval=0.0, maxval=np.pi)
+                ln = jax.random.uniform(kk[8], (), minval=20.0,
+                                        maxval=self.rh * 0.6)
+                rad = jax.random.uniform(kk[9], (), minval=5.0,
+                                         maxval=self.rh / 8)
+                ex, ey = jnp.cos(ang) * ln / 2, jnp.sin(ang) * ln / 2
+                # distance from each pixel to the segment [c-e, c+e]
+                py, px = yy_ - cy_, xx_ - cx_
+                t = jnp.clip((py * ey + px * ex) / (ln * ln / 4 + 1e-6),
+                             -1.0, 1.0)
+                dseg = jnp.sqrt((py - t * ey) ** 2 + (px - t * ex) ** 2)
+                shape_kind = jax.random.randint(kk[10], (), 0, 3)
+                inside = jnp.where(shape_kind == 2, dseg <= rad, inside)
+                # Per-shape texture: shading gradient (fake 3-D), stripes,
+                # speckle — all over the base color.
+                gdir = jax.random.uniform(kk[11], (2,), minval=-1.0,
+                                          maxval=1.0)
+                shade_g = 0.55 + 0.45 * jnp.clip(
+                    (py * gdir[0] + px * gdir[1]) / (self.rh / 2), -1, 1
+                )
+                sfreq = jax.random.uniform(kk[12], (), minval=0.05,
+                                           maxval=0.6)
+                stripes = jnp.where(
+                    jax.random.bernoulli(kk[13], 0.4),
+                    0.75 + 0.25 * jnp.sign(
+                        jnp.sin(sfreq * (py * gdir[1] - px * gdir[0]))
+                    ),
+                    1.0,
+                )
+                tex = (shade_g * stripes)[..., None]
+                shape_rgb = jnp.clip(col[None, None] * tex, 0.0, 255.0)
+            else:
+                shape_rgb = jnp.broadcast_to(
+                    col[None, None], (self.rh, self.rw, 3)
+                )
             closer = inside & (z < zbuf)
-            img = jnp.where(closer[..., None], col[None, None], img)
+            img = jnp.where(closer[..., None], shape_rgb, img)
             zbuf = jnp.where(closer, z, zbuf)
 
         # --- robot: shaded grayscale x random per-link tint, z-buffered
