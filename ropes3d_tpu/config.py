@@ -59,6 +59,16 @@ LOOKUP_NUM_RENDERED = 6
 # gap for one extra final-descent lane.
 TOPK_FINAL = 2
 
+# Diversity-enforced lookup seeding (robust/neural lanes only): greedy NMS
+# in angle space when picking the top-k lookup seeds — each successive seed
+# must differ from every earlier pick by at least this many radians (L-inf
+# over joints).  Plain top-k returns k near-copies of ONE basin (the stack
+# is a dense grid; round-4 diag_misrank2 found the true basin ranked
+# 137-10792 behind thousands of wrong-basin neighbours on every cluttered
+# failure), so extra seeds bought no recall.  0 disables.  Parity lanes
+# (robust_tau=None) always use plain top-k.
+LOOKUP_SEED_NMS_SEP = 0.2  # rad (~11.5 deg)
+
 # Depth gating (neural target prep only): real/cluttered depth frames carry
 # valid range values *everywhere*, so segmentation-mask spill (the dilate-8
 # body closure) and occluders inside a detection pull the depth-error terms

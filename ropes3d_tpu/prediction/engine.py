@@ -592,6 +592,16 @@ class CandidateEvaluator:
         envelope.  None when the evaluator is in parity mode."""
         return None if self.robust_tau is None else self.robust_tau * 0.4
 
+    def _seed_nms_sep(self):
+        """Angle-space NMS separation for top-k seeding — robust lanes
+        only (parity keeps the reference's plain ranking).  See
+        config.LOOKUP_SEED_NMS_SEP and :meth:`_topk_diverse`."""
+        if self.robust_tau is None:
+            return None
+        from ..config import LOOKUP_SEED_NMS_SEP
+
+        return float(LOOKUP_SEED_NMS_SEP) or None
+
     @staticmethod
     def _lookup_err(tgt_crop, lookup_sqrt, tau):
         """Per-candidate lookup error over the pre-rendered stack.
@@ -669,32 +679,63 @@ class CandidateEvaluator:
         return lookup_angles[jnp.argmin(err)]
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("k", "tau"))
+    def _topk_diverse(err, lookup_angles, k: int, min_sep: float):
+        """Greedy diverse top-k over the lookup stack -> angles [k, 6].
+
+        Plain top-k seeds are near-duplicates: the stack is a dense joint
+        grid, so the k lowest errors usually sit in ONE basin (round-4
+        diag_misrank2: on every cluttered failure a within-3-deg entry
+        existed but ranked 137-10792 — behind thousands of copies of the
+        same wrong basin).  Greedy NMS in angle space picks each successive
+        seed as the lowest-error entry at least ``min_sep`` radians (L-inf
+        over joints) from every already-picked seed, so k seeds cover k
+        distinct basins instead of one.  Cost: k masked argmins over [N].
+        """
+        min_sep = jnp.float32(min_sep)
+
+        def pick(err_i, _):
+            idx = jnp.argmin(err_i)
+            ang = lookup_angles[idx]
+            dist = jnp.max(jnp.abs(lookup_angles - ang[None]), axis=1)
+            return jnp.where(dist < min_sep, jnp.inf, err_i), idx
+
+        _, idxs = jax.lax.scan(pick, err.astype(jnp.float32), None, length=k)
+        return lookup_angles[idxs]
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("k", "tau", "min_sep"))
     def lookup_select_topk(
         tgt_crop: jnp.ndarray,
         lookup_sqrt: jnp.ndarray,
         lookup_angles: jnp.ndarray,
         k: int,
         tau: float = None,
+        min_sep: float = None,
     ) -> jnp.ndarray:
         """Top-k lookup candidates: -> angles [k, 6] (best first).
 
         Seeds multi-hypothesis refinement: each candidate runs the full
         stage pipeline frame-batched and the lowest final error wins —
         robustness against wrong-basin lookup inits (a failure mode the
-        reference's single-seed search shares)."""
+        reference's single-seed search shares).  ``min_sep`` (radians)
+        switches to diversity-enforced selection (:meth:`_topk_diverse`)."""
         err = CandidateEvaluator._lookup_err(tgt_crop, lookup_sqrt, tau)
+        if min_sep:
+            return CandidateEvaluator._topk_diverse(
+                err, lookup_angles, k, min_sep
+            )
         _, idx = jax.lax.top_k(-err, k)
         return lookup_angles[idx]
 
     @staticmethod
-    @functools.partial(jax.jit, static_argnames=("k", "tau"))
+    @functools.partial(jax.jit, static_argnames=("k", "tau", "min_sep"))
     def lookup_select_batch(
         tgt_crops: jnp.ndarray,  # [F, ch, cw]
         lookup_sqrt: jnp.ndarray,  # [N, ch, cw]
         lookup_angles: jnp.ndarray,  # [N, 6]
         k: int = 1,
         tau: float = None,
+        min_sep: float = None,
     ) -> jnp.ndarray:
         """Frame-batched lookup argmin: -> angles [F, 6] (or [F, k, 6]
         best-first when ``k`` > 1).  lax.map bounds the [N, ch, cw] diff
@@ -703,6 +744,10 @@ class CandidateEvaluator:
         def one(tgt):
             err = CandidateEvaluator._lookup_err(tgt, lookup_sqrt, tau)
             if k > 1:
+                if min_sep:
+                    return CandidateEvaluator._topk_diverse(
+                        err, lookup_angles, k, min_sep
+                    )
                 _, idx = jax.lax.top_k(-err, k)
                 return lookup_angles[idx]
             return lookup_angles[jnp.argmin(err)]
@@ -933,10 +978,15 @@ class CandidateEvaluator:
                 self._polish_fn(sk[1], sk[3], sk[2])
 
         lookup_tau = self._lookup_tau()
+        nms_sep = self._seed_nms_sep()
 
         def lookup_one(tgt_crop, lookup_sqrt, lookup_angles):
             err = self._lookup_err(tgt_crop, lookup_sqrt, lookup_tau)
             if topk > 1:
+                if nms_sep:
+                    return self._topk_diverse(
+                        err, lookup_angles, topk, nms_sep
+                    )
                 _, idx = jax.lax.top_k(-err, topk)
                 return lookup_angles[idx]  # [k, 6]
             return lookup_angles[jnp.argmin(err)]
@@ -1124,13 +1174,16 @@ class CandidateEvaluator:
         has_lookup = any(sk[0] == "lookup" for sk in key)
         if multi and has_lookup and key[0][0] == "lookup":
             lt = self._lookup_tau()
+            sep = self._seed_nms_sep()
             if batched:
                 seeds = self.lookup_select_batch(
-                    tgt_crop, lookup_sqrt, lookup_angles, k=topk, tau=lt
+                    tgt_crop, lookup_sqrt, lookup_angles, k=topk, tau=lt,
+                    min_sep=sep,
                 )
             elif topk > 1:
                 seeds = self.lookup_select_topk(
-                    tgt_crop, lookup_sqrt, lookup_angles, topk, tau=lt
+                    tgt_crop, lookup_sqrt, lookup_angles, topk, tau=lt,
+                    min_sep=sep,
                 )
             else:
                 seeds = self.lookup_select(

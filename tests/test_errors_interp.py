@@ -130,6 +130,34 @@ def test_occlusion_aware_lookup_ranks_occluded_truth_first():
     np.testing.assert_allclose(occ[1], 4 * tau, rtol=1e-5)
 
 
+def test_topk_diverse_spans_basins():
+    """Diversity-enforced top-k must return one seed per angle basin, not k
+    near-copies of the best basin (round-4 diag_misrank2: the true basin
+    ranked 137-10792 behind thousands of wrong-basin grid neighbours, so
+    plain top-k bought no recall)."""
+    from ropes3d_tpu.prediction.engine import CandidateEvaluator
+
+    # Two basins 0.5 rad apart in joint 0; basin A has 50 entries with the
+    # 50 lowest errors, basin B's best entry ranks 51st.
+    angles = np.zeros((60, 6), np.float32)
+    angles[:50, 0] = np.linspace(0.0, 0.05, 50)  # basin A (within NMS sep)
+    angles[50:, 0] = 0.5 + np.linspace(0.0, 0.05, 10)  # basin B
+    err = np.arange(60, dtype=np.float32)
+
+    plain = angles[np.argsort(err)[:3]]
+    assert np.all(plain[:, 0] < 0.1)  # plain: all three from basin A
+
+    div = np.asarray(
+        CandidateEvaluator._topk_diverse(
+            jnp.asarray(err), jnp.asarray(angles), 3, 0.2
+        )
+    )
+    assert div[0, 0] == angles[0, 0]  # best overall first
+    assert np.any(div[:, 0] > 0.4)  # basin B represented
+    # and picks stay sorted by error within the constraint
+    assert div[1, 0] == angles[50, 0]
+
+
 def test_cubic_spline_matches_scipy():
     from scipy.interpolate import interp1d
 
