@@ -433,12 +433,52 @@ class Predictor:
         a, b = jnp.asarray(depth_full), jnp.asarray(lid_full)
         with self.timer.stage("synthetic_fused"):
             out = self._synth_run(a, b, self.lookup_depth, self.lookup_angles)
-        pending = PendingFrame(out)
+        pending = PendingFrame(self._stash_hypotheses(out))
         return pending if not block else self.finish(pending)
 
     def finish(self, pending: "PendingFrame") -> np.ndarray:
         """Complete a ``block=False`` dispatch: read back the (tiny) result."""
         return np.asarray(pending.out, dtype=float)
+
+    def _stash_hypotheses(self, out):
+        """Fused-lane post-dispatch bookkeeping: when the survivor re-rank
+        is active the program returns (best, hypotheses[m,6], errors[m])
+        sorted best-first — keep the extras as *device* arrays (pulling
+        them eagerly would add a ~30 ms tunnel read per frame) and return
+        just the best angles for the normal path."""
+        if isinstance(out, tuple):
+            _, self._last_hyp_dev, self._last_err_dev = out
+            return out[0]
+        self._last_hyp_dev = self._last_err_dev = None
+        return out
+
+    @property
+    def last_hypotheses(self) -> Optional[np.ndarray]:
+        """Best-k pose hypotheses [m, 6] from the most recent fused-lane
+        frame, sorted by fine-resolution error (robust lanes with
+        ``lookup_topk`` > 1 only — None otherwise).  Row 0 is the returned
+        answer; later rows are the alternative basins a caller can fall
+        back to when :attr:`last_confidence` is low."""
+        h = getattr(self, "_last_hyp_dev", None)
+        return None if h is None else np.asarray(h, dtype=float)
+
+    @property
+    def last_errors(self) -> Optional[np.ndarray]:
+        """Fine-target errors [m] matching :attr:`last_hypotheses`."""
+        e = getattr(self, "_last_err_dev", None)
+        return None if e is None else np.asarray(e, dtype=float)
+
+    @property
+    def last_confidence(self) -> Optional[float]:
+        """Best-vs-runner-up relative error margin of the most recent
+        fused-lane frame: ``(e1 - e0) / e0``.  Near 0 means two basins
+        measured alike (genuinely ambiguous occlusion — round-4
+        diag_misrank2's irreducible class); large means the winner was
+        clear.  None when the re-rank was not active."""
+        e = self.last_errors
+        if e is None or len(e) < 2:
+            return None
+        return float((e[1] - e[0]) / max(float(e[0]), 1e-9))
 
     def _fused_run(self, prep, topk: int, fine: bool = False):
         """jit (prep -> recipe [-> fine polish]) into ONE program for the
@@ -490,7 +530,12 @@ class Predictor:
                         angs, w2c, res[2]
                     )
                     errs = eval_fine(polished, w2c, res[2])
-                    out = polished[jnp.argmin(errs)]
+                    # Sorted hypotheses + errors ride along so callers get
+                    # a per-frame confidence (best-vs-runner-up margin) and
+                    # the alternative basins — ambiguous occlusions are a
+                    # *detectable* failure mode, not a silent one.
+                    order = jnp.argsort(errs)
+                    out = (polished[order[0]], polished[order], errs[order])
                 else:
                     out = fine_fn(out[:6], w2c, res[2])
             return out
@@ -680,7 +725,7 @@ class Predictor:
         a, b = jnp.asarray(target_color), jnp.asarray(target_depth)
         with self.timer.stage("real_fused"):
             out = self._real_run(a, b, self.lookup_depth, self.lookup_angles)
-        pending = PendingFrame(out)
+        pending = PendingFrame(self._stash_hypotheses(out))
         return pending if not block else self.finish(pending)
 
     # ------------------------------------------------------------ batched

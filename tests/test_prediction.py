@@ -273,7 +273,12 @@ def test_fused_programs_trace(synth):
 
             runr = p._fused_run(prep3, topk=4, fine=True)
             out = jax.eval_shape(runr, a, b, p.lookup_depth, p.lookup_angles)
-            assert out.shape == (6,)
+            # Re-rank lanes return (best, hypotheses[m,6], errors[m]) —
+            # sorted best-first — so callers get confidence + alternatives.
+            best, hyp, errs = out
+            assert best.shape == (6,)
+            assert hyp.shape[1:] == (6,)
+            assert errs.shape == (hyp.shape[0],)
         finally:
             p.robust_tau = old_tau
 
