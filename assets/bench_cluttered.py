@@ -47,7 +47,7 @@ if model_id:
         if hasattr(p, a):
             delattr(p, a)
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-errs, times = [], []
+errs, times, confs = [], [], []
 for i in range(n):
     pose = rng.uniform(lim[:, 0], lim[:, 1]) * np.array([1, 1, 1, 0, 0, 0])
     rend.setJointAngles(pose)
@@ -60,9 +60,12 @@ for i in range(n):
     dt = 1e3 * (time.perf_counter() - t0)
     times.append(dt)
     errs.append(np.degrees(np.abs(est - pose))[:3])
+    c = p.last_confidence
+    confs.append(np.nan if c is None else c)
     if (i + 1) % 10 == 0:
         print(f"{i+1}/{n}", flush=True)
 errs = np.array(errs)
+confs = np.array(confs)
 seg_id = os.path.basename(os.path.dirname(getattr(p.seg, "ckpt_path", "?")))
 print(f"cluttered real-seg e2e ({seg_id} {lane} topk={topk}):")
 print(f"  latency p50 {np.percentile(times[1:], 50):.0f} ms, p90 {np.percentile(times[1:], 90):.0f}")
@@ -71,6 +74,19 @@ np.save("/tmp/clut_errs.npy", errs)
 bad = np.where(errs.max(axis=1) > 2.0)[0]
 print(f"  frames with max err > 2 deg: {len(bad)}/{len(errs)} -> "
       + " ".join(f"{i}:{errs[i].max():.0f}" for i in bad))
+if np.isfinite(confs).any():
+    # Confidence-vs-error separation: does the best-vs-runner-up margin
+    # flag the bad frames?  Report median confidence of good vs bad
+    # frames and the bad-frame recall at the 10%-margin reject threshold.
+    np.save("/tmp/clut_confs.npy", confs)
+    good = np.setdiff1d(np.arange(len(errs)), bad)
+    thr = 0.10
+    flagged = np.where(confs < thr)[0]
+    caught = np.intersect1d(flagged, bad)
+    print(f"  confidence: median good {np.nanmedian(confs[good]):.2f}, "
+          f"median bad {np.nanmedian(confs[bad]) if len(bad) else float('nan'):.2f}; "
+          f"reject@<{thr:.2f} flags {len(flagged)}/{len(errs)} frames, "
+          f"catches {len(caught)}/{len(bad)} bad")
 seg_t = []
 from ropes3d_tpu.ops.image import downsample
 import jax.numpy as jnp

@@ -119,6 +119,16 @@ MODELDATA_FILE_NAME = "ModelData.json"
 NUM_MODELS_TO_KEEP = 3
 MODEL_NAME_LENGTH = 4
 
+# Inference-time detector settings (Segmenter).  The Mask R-CNN is fully
+# convolutional with config-derived anchors, so trained weights run at any
+# input resolution divisible by 64; smaller inputs cut detector latency
+# roughly quadratically.  SEG_INFER_HW=None keeps each model's trained
+# size.  SEG_INFER_BF16 runs the forward pass in bfloat16 (MXU-native;
+# outputs cast back to float32).  Defaults follow the measured
+# IoU-vs-latency curve in BENCHMARKS.md (assets/eval_seg_latency.py).
+SEG_INFER_HW = None
+SEG_INFER_BF16 = False
+
 # ---------------------------------------------------------------- Wizard
 WIZARD_DATASET_PREVIEW = True
 

@@ -45,15 +45,30 @@ class Segmenter:
         class_names: List[str],
         cfg: Optional[MaskRCNNConfig] = None,
         mask_roi_size_infer: int = None,
+        image_hw_infer: Optional[Tuple[int, int]] = None,
+        infer_bf16: Optional[bool] = None,
     ):
         """``mask_roi_size_infer``: optional inference-time RoIAlign size
         for the mask branch (the head is fully convolutional so any size
         runs).  Measured on bootv2: running finer than trained *hurts*
         (0.90 -> 0.84 large-link IoU at 28 vs the trained 14) — the conv
-        features shift scale — so the default keeps the trained size."""
+        features shift scale — so the default keeps the trained size.
+
+        ``image_hw_infer``: optional inference-time input resolution — the
+        network is fully convolutional and anchors regenerate from the
+        config, so any (h, w) divisible by 64 runs with trained weights.
+        Smaller inputs cut detector latency roughly quadratically (the
+        neural lane's dominant cost; see BENCHMARKS.md IoU-vs-latency
+        curve).  Default: config.SEG_INFER_HW, else the trained size.
+
+        ``infer_bf16``: run the detector forward in bfloat16 (params +
+        activations; outputs cast back to float32).  MXU-native on TPU.
+        Default: config.SEG_INFER_BF16."""
         import dataclasses
 
         import orbax.checkpoint as ocp
+
+        from ..config import SEG_INFER_BF16, SEG_INFER_HW
 
         self.class_names = class_names
         self.ckpt_path = os.path.abspath(ckpt_path)
@@ -70,8 +85,16 @@ class Segmenter:
         cfg = cfg or MaskRCNNConfig(num_classes=len(class_names))
         if mask_roi_size_infer and mask_roi_size_infer != cfg.mask_roi_size:
             cfg = dataclasses.replace(cfg, mask_roi_size=mask_roi_size_infer)
+        image_hw_infer = (
+            image_hw_infer if image_hw_infer is not None else SEG_INFER_HW
+        )
+        if image_hw_infer and tuple(image_hw_infer) != cfg.image_hw:
+            cfg = dataclasses.replace(cfg, image_hw=tuple(image_hw_infer))
         self.cfg = cfg
         self.model = MaskRCNN(self.cfg)
+        self.infer_bf16 = bool(
+            SEG_INFER_BF16 if infer_bf16 is None else infer_bf16
+        )
 
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.abspath(ckpt_path))
@@ -79,7 +102,32 @@ class Segmenter:
             "params": restored["params"],
             "batch_stats": restored.get("batch_stats", {}),
         }
-        self._forward = jax.jit(lambda img: self.model.apply(self.variables, img))
+        if self.infer_bf16:
+            self.variables_infer = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.variables,
+            )
+        else:
+            self.variables_infer = self.variables
+        self._forward = jax.jit(self.forward_core)
+
+    def forward_core(self, img: jnp.ndarray):
+        """Traceable detector forward at inference precision: bf16 params +
+        activations when ``infer_bf16`` (float32 otherwise), float32 out.
+        Shared by :meth:`segment` and the predictor's fused real lane."""
+        if self.infer_bf16:
+            out = self.model.apply(
+                self.variables_infer, img.astype(jnp.bfloat16)
+            )
+            return jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == jnp.bfloat16
+                else x,
+                out,
+            )
+        return self.model.apply(self.variables_infer, img)
 
     def preprocess(
         self, image: np.ndarray, depth: Optional[np.ndarray] = None
