@@ -24,10 +24,14 @@ import numpy as np
 
 def _b_wrap(err_deg: np.ndarray) -> np.ndarray:
     """±360/±180 wraparound on the B joint (prediction/analysis.py
-    _b_correction): report the nearest-equivalent angular error."""
+    _b_correction) and plain ±360 wrap on R (a full revolution of the
+    roll joint is the same physical pose, so a 350 deg reported error is
+    really 10 deg): report the nearest-equivalent angular error."""
     offsets = np.array([-360.0, -180.0, 0.0, 180.0, 360.0])
     err_deg = err_deg.copy()
     err_deg[:, 4] = np.abs(err_deg[:, 4:5] + offsets[None]).min(axis=1)
+    r_offsets = np.array([-360.0, 0.0, 360.0])
+    err_deg[:, 3] = np.abs(err_deg[:, 3:4] + r_offsets[None]).min(axis=1)
     return err_deg
 
 

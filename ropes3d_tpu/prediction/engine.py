@@ -40,7 +40,9 @@ from ..ops.interp import cubic_spline_uniform
 from ..ops.rasterizer import render_batch
 from ..robot import MeshLoader, URDFReader
 from ..robot.kinematics import make_fk
-from .stages import Descent, InterpolativeSweep, Lookup, Polish, SFlip, TensorSweep
+from .stages import (
+    Descent, GridSweep, InterpolativeSweep, Lookup, Polish, SFlip, TensorSweep,
+)
 
 
 def _stage_key(stages) -> tuple:
@@ -65,6 +67,12 @@ def _stage_key(stages) -> tuple:
         elif isinstance(s, TensorSweep):
             key.append((
                 "tsweep", s.to_render, int(s.divs),
+                None if s.range is None else float(s.range),
+                tuple(bool(b) for b in s.joints),
+            ))
+        elif isinstance(s, GridSweep):
+            key.append((
+                "gsweep", s.to_render, int(s.divs[0]), int(s.divs[1]),
                 None if s.range is None else float(s.range),
                 tuple(bool(b) for b in s.joints),
             ))
@@ -423,6 +431,7 @@ class CandidateEvaluator:
         "descent": (0, None, 0, None, None, None, None),
         "isweep": (0, None, 0, None, None),
         "tsweep": (0, None, 0, None, None),
+        "gsweep": (0, None, 0, None, None, None),
         "sflip": (0, None, 0, None),
         "polish": (0, None, 0),
     }
@@ -430,7 +439,7 @@ class CandidateEvaluator:
     @functools.lru_cache(maxsize=32)
     def _stage_jit(
         self, kind: str, to_render: int, divs: int = 0, batched: bool = False,
-        joints: tuple = (), radii: tuple = (),
+        joints: tuple = (), radii: tuple = (), divs_b: int = 0,
     ):
         """jit (optionally vmapped-over-frames) wrapper around a stage core.
 
@@ -442,6 +451,7 @@ class CandidateEvaluator:
             "descent_jacobi": lambda: self._descent_jacobi_fn(to_render, joints),
             "isweep": lambda: self._isweep_fn(to_render, divs),
             "tsweep": lambda: self._tsweep_fn(to_render, divs),
+            "gsweep": lambda: self._gridsweep_fn(to_render, divs, divs_b),
             "sflip": lambda: self._sflip_fn(to_render),
             "polish": lambda: self._polish_fn(to_render, joints, radii),
         }[kind]()
@@ -568,6 +578,69 @@ class CandidateEvaluator:
         )
         rng = jnp.float32(np.nan if stage.range is None else stage.range)
         return f(state, self._w2c, tgt_depth, jnp.int32(joint_idx), rng)
+
+    @functools.lru_cache(maxsize=16)
+    def _gridsweep_fn(self, to_render: int, divs_a: int, divs_b: int):
+        """2-D tensor-product sweep over joints (ja, jb) — stages.GridSweep.
+
+        One batched eval of the divs_a*divs_b grid around (or, at full
+        range, across) the two joints' limits; keeps the grid argmin only
+        if it beats the incumbent.  Scored with the recipe's ACTUAL
+        candidate objective (eval_batch, robust-aware), not the tsweep
+        depth heuristic, because the grid exists to disambiguate coupled
+        wrist joints whose signal is a small fraction of total error."""
+        eval_batch = self._eval_fn(to_render)
+        limits = self.joint_limits
+
+        def gsweep(state: SearchState, w2c, target, ja, jb, range_val):
+            angles, err_hist = state.angles, state.err_hist
+            base_err = eval_batch(angles[None], w2c, target)[0]
+            full = jnp.isnan(range_val)
+
+            def span(j, divs):
+                lo = jnp.where(
+                    full, limits[j, 0],
+                    jnp.maximum(angles[j] - range_val, limits[j, 0]),
+                )
+                hi = jnp.where(
+                    full, limits[j, 1],
+                    jnp.minimum(angles[j] + range_val, limits[j, 1]),
+                )
+                frac = jnp.arange(divs, dtype=jnp.float32) / (divs - 1)
+                return lo + (hi - lo) * frac
+
+            sa = span(ja, divs_a)  # [divs_a]
+            sb = span(jb, divs_b)  # [divs_b]
+            ga = jnp.repeat(sa, divs_b)
+            gb = jnp.tile(sb, divs_a)
+            space = jnp.tile(angles, (divs_a * divs_b, 1))
+            space = space.at[:, ja].set(ga).at[:, jb].set(gb)
+            errs = eval_batch(space, w2c, target)
+            best = jnp.argmin(errs)
+            better = errs[best] < base_err
+            angles_new = jnp.where(better, space[best], angles)
+            err_hist2 = jnp.where(
+                better,
+                jnp.concatenate([jnp.minimum(errs[best], base_err)[None],
+                                 err_hist[:-1]]),
+                err_hist,
+            )
+            history2 = jnp.concatenate([angles_new[None], state.history[:-1]])
+            return SearchState(angles_new, state.lr, history2, err_hist2)
+
+        return gsweep
+
+    def grid_sweep(
+        self, state: SearchState, target: TargetBundle, stage
+    ) -> SearchState:
+        """Run a GridSweep stage config as one device dispatch."""
+        ja, jb = (int(j) for j in np.where(stage.joints)[0])
+        f = self._stage_jit(
+            "gsweep", stage.to_render, stage.divs[0],
+            batched=state.angles.ndim == 2, divs_b=stage.divs[1],
+        )
+        rng = jnp.float32(np.nan if stage.range is None else stage.range)
+        return f(state, self._w2c, target, jnp.int32(ja), jnp.int32(jb), rng)
 
     def _early_stop(self, early: float) -> float:
         """Descent early_stop_thresh, scaled down in robust mode.
@@ -906,6 +979,12 @@ class CandidateEvaluator:
             for j in (i for i, b in enumerate(joints) if b):
                 state = fn(state, w2c, target.depth, jnp.int32(j), rv)
             return state
+        if kind == "gsweep":
+            _, to_render, da, db, rng_, joints = skey
+            fn = self._gridsweep_fn(to_render, da, db)
+            rv = jnp.float32(np.nan if rng_ is None else rng_)
+            ja, jb = (i for i, b in enumerate(joints) if b)
+            return fn(state, w2c, target, jnp.int32(ja), jnp.int32(jb), rv)
         raise TypeError(f"Unknown stage kind {kind}")
 
     @functools.lru_cache(maxsize=16)
@@ -974,6 +1053,8 @@ class CandidateEvaluator:
                 self._isweep_fn(sk[1], sk[2])
             elif kind == "tsweep":
                 self._tsweep_fn(sk[1], sk[2])
+            elif kind == "gsweep":
+                self._gridsweep_fn(sk[1], sk[2], sk[3])
             elif kind == "polish":
                 self._polish_fn(sk[1], sk[3], sk[2])
 

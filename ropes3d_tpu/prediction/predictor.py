@@ -39,7 +39,8 @@ from ..simulation.renderer import Renderer
 from ..utils import StageTimer
 from .engine import CandidateEvaluator, SearchState
 from .stages import (
-    Descent, InterpolativeSweep, Lookup, Polish, SFlip, TensorSweep, getStages,
+    Descent, GridSweep, InterpolativeSweep, Lookup, Polish, SFlip, TensorSweep,
+    getStages,
 )
 
 HISTORY_LENGTH = 5
@@ -1112,6 +1113,8 @@ class Predictor:
                         state = self.engine.tensor_sweep(
                             state, target.depth, stage, int(j)
                         )
+                elif isinstance(stage, GridSweep):
+                    state = self.engine.grid_sweep(state, target, stage)
                 else:
                     raise TypeError(f"Unknown stage type {name}")
 

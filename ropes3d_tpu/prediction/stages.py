@@ -58,6 +58,31 @@ class TensorSweep(Sweep):
     depth error (reference stages.py:71-90)."""
 
 
+class GridSweep(BaseStage):
+    """2-D tensor-product sweep over two *coupled* joints (beyond the
+    reference, which has only 1-D sweeps).  Evaluates the full
+    ``divs_a x divs_b`` grid in ONE batched eval and keeps the argmin if
+    it beats the incumbent.  Exists for the wrist pair (R, B): R rotates
+    the forearm about its own axis, so its visual effect vanishes at
+    B ~= 0 — a 1-D R sweep from the post-SLU state (B = 0) is
+    uninformative, while the R x B grid scores every R in the context of
+    every candidate B.  A few hundred extra candidates is noise at the
+    fused evaluator's throughput."""
+
+    def __init__(
+        self,
+        to_render: int,
+        divs: Union[int, tuple],
+        joints: Union[str, np.ndarray],
+        range: Optional[float] = None,
+    ):
+        super().__init__(to_render)
+        self.divs = (divs, divs) if isinstance(divs, int) else tuple(divs)
+        self.range = range
+        self.joints = str_to_arr(joints) if isinstance(joints, str) else joints
+        assert int(np.sum(self.joints)) == 2, "GridSweep takes exactly 2 joints"
+
+
 class Descent(BaseStage):
     """Adaptive-step coordinate descent (reference stages.py:92-119)."""
 
@@ -143,20 +168,27 @@ def getStages(angles: str) -> Optional[List]:
     # these undefined — stages.py:170-176).  Extend the SLU recipe with
     # B (and R) refinement sweeps + a full descent.
     if angles == "SLUB":
+        # The B landscape at working res is multi-modal (the bend's depth
+        # signature is subtle), so the wide pass is dense: 49 divs instead
+        # of 25.  isweep keeps the best of {incumbent, grid argmin,
+        # interpolated minimum}, so density is what guards against
+        # wrong-lobe interpolation — extra candidates are ~free.
         base = getStages("SLU")[:-2]
-        b_sweep_wide = InterpolativeSweep(6, 25, "B")
+        b_sweep_wide = InterpolativeSweep(6, 49, "B")
         b_sweep_narrow = InterpolativeSweep(6, 10, "B", 0.1)
         full_tune = Descent(6, 40, "SLUB", early_stop_thresh=0.0075)
         return [*base, b_sweep_wide, b_sweep_narrow, full_tune, Polish(6, "SLUB")]
 
     if angles == "SLURB":
+        # R and B are coupled (R is invisible at B ~= 0): sweep the R x B
+        # grid jointly, then narrow 1-D passes, then the full descent.
         base = getStages("SLU")[:-2]
-        b_sweep_wide = InterpolativeSweep(6, 25, "B")
-        r_sweep = InterpolativeSweep(6, 25, "R")
-        b_sweep_narrow = InterpolativeSweep(6, 10, "B", 0.1)
+        rb_grid = GridSweep(6, (21, 21), "RB")
+        r_sweep_narrow = InterpolativeSweep(6, 10, "R", 0.15)
+        b_sweep_narrow = InterpolativeSweep(6, 10, "B", 0.15)
         full_tune = Descent(6, 50, "SLURB", early_stop_thresh=0.0075)
         return [
-            *base, b_sweep_wide, r_sweep, b_sweep_narrow, full_tune,
+            *base, rb_grid, r_sweep_narrow, b_sweep_narrow, full_tune,
             Polish(6, "SLURB"),
         ]
 

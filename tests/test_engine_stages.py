@@ -119,3 +119,45 @@ def test_robust_early_stop_scaled(setup):
         CAM, Intrinsics("640_480_color_16"), urdf=URDFReader(), robust_tau=0.1
     )
     assert robust._early_stop(0.1) == 0.1 * ROBUST_EARLY_STOP_SCALE
+
+
+def test_grid_sweep_finds_coupled_wrist(setup):
+    """GridSweep over (R, B) recovers a wrist pose a 1-D R sweep cannot:
+    starting from R=B=0, R's error landscape is flat (the forearm is
+    near-symmetric about its roll axis at B=0), but the R x B grid scores
+    R jointly with B and lands in the true basin."""
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.prediction.engine import SearchState
+    from ropes3d_tpu.prediction.stages import GridSweep
+
+    engine, target, true_pose = setup
+    # Re-target: a pose with a pronounced wrist bend + roll.
+    from ropes3d_tpu.camera import Intrinsics
+    from ropes3d_tpu.ops.error import TargetBundle
+    from ropes3d_tpu.simulation.renderer import Renderer
+
+    wrist_pose = np.array([0.4, 0.1, 0.6, 1.2, 1.0, 0], np.float32)
+    rend = Renderer("seg", CAM, Intrinsics("640_480_color_16"))
+    rend.setJointAngles(wrist_pose)
+    depth, lid = rend.render_ids()
+    masks = np.stack([lid == i for i in range(6)])
+    tgt = TargetBundle(
+        jnp.asarray(masks),
+        jnp.asarray(masks * depth[None], jnp.float32),
+        jnp.asarray(masks.any((1, 2))),
+        jnp.asarray(depth, jnp.float32),
+    )
+    start = wrist_pose.copy()
+    start[3] = start[4] = 0.0
+    state = SearchState.fresh()._replace(angles=jnp.asarray(start))
+    out = engine.grid_sweep(state, tgt, GridSweep(6, (13, 13), "RB"))
+    got = np.asarray(out.angles)
+    # Grid resolution bounds the residual: limits span / 12 per axis.
+    lim = np.asarray(engine.u_reader.joint_limits)
+    res_r = (lim[3, 1] - lim[3, 0]) / 12
+    res_b = (lim[4, 1] - lim[4, 0]) / 12
+    assert abs(got[3] - wrist_pose[3]) <= res_r
+    assert abs(got[4] - wrist_pose[4]) <= res_b
+    # S, L, U untouched.
+    np.testing.assert_allclose(got[:3], start[:3], atol=1e-6)
