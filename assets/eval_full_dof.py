@@ -35,12 +35,12 @@ def _b_wrap(err_deg: np.ndarray) -> np.ndarray:
     return err_deg
 
 
-def eval_recipe(do_angles: str, n: int):
+def eval_recipe(do_angles: str, n: int, ds: int = 4):
     from ropes3d_tpu.prediction.synthetic import SyntheticPredictor
 
     cam = [0, -1.5, 0.75, 0, 0, 0]
     sp = SyntheticPredictor(
-        cam, "1280_720_color", 8, do_angles, noise=False, seed=5
+        cam, "1280_720_color", ds, do_angles, noise=False, seed=5
     )
     t0 = time.time()
     actual, pred = [], []
@@ -68,8 +68,13 @@ def eval_recipe(do_angles: str, n: int):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    ds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    # Default working res for full-DoF is ds 4 (320x180): the wrist links
+    # subtend only a handful of pixels at the SLU default (ds 8), which
+    # caps R/B basin selection; 4x the pixels fixes observability while
+    # the fused evaluator still sustains ~20k cand/s (BENCHMARKS.md).
     for da in (("SLUB", "SLURB") if which == "both" else (which,)):
-        eval_recipe(da, n)
+        eval_recipe(da, n, ds)
 
 
 if __name__ == "__main__":

@@ -313,23 +313,27 @@ class CandidateEvaluator:
                 step = rows * lr2[idx][:, None]  # [k, 6]
                 under = angles[None] - step
                 over = angles[None] + step
-                cands = jnp.concatenate([under, over], axis=0)  # [2k, 6]
+                # [2k+1]: probe the incumbent too — monotone acceptance,
+                # same rationale as the sequential loop above.
+                cands = jnp.concatenate([under, over, angles[None]], axis=0)
                 errs = eval_batch(cands, w2c, target)
                 diag_u = under[jnp.arange(k), idx]
                 diag_o = over[jnp.arange(k), idx]
                 inl_u = (diag_u >= limits[idx, 0]) & (diag_u <= limits[idx, 1])
                 inl_o = (diag_o >= limits[idx, 0]) & (diag_o <= limits[idx, 1])
                 err_u = jnp.where(inl_u, errs[:k], jnp.inf)
-                err_o = jnp.where(inl_o, errs[k:], jnp.inf)
+                err_o = jnp.where(inl_o, errs[k:2 * k], jnp.inf)
+                err_c = errs[2 * k]
                 delta = jnp.where(
-                    err_o < err_u, lr2[idx],
-                    jnp.where(err_o > err_u, -lr2[idx], 0.0),
+                    (err_o < err_u) & (err_o < err_c), lr2[idx],
+                    jnp.where((err_u <= err_o) & (err_u < err_c),
+                              -lr2[idx], 0.0),
                 )
                 angles2 = angles.at[idx].add(delta)
 
                 # Last active joint's min error feeds err_hist (parity with
                 # the sequential loop's leftover over/under, predict.py:222).
-                last_min = jnp.minimum(err_u, err_o)[-1]
+                last_min = jnp.minimum(jnp.minimum(err_u, err_o)[-1], err_c)
 
                 history2 = jnp.concatenate([angles2[None], history[:-1]])
                 err_hist2 = jnp.concatenate([last_min[None], err_hist[:-1]])
@@ -354,10 +358,11 @@ class CandidateEvaluator:
 
     @functools.lru_cache(maxsize=32)
     def _descent_fn(self, to_render: int, joints: tuple):
-        """Reference-parity sequential coordinate descent
-        (predict.py:173-229).  ``joints`` is static: the per-joint loop is
-        unrolled over active joints only, which removes the lax.cond
-        branches and the wasted probes of inactive joints."""
+        """Sequential coordinate descent (reference predict.py:173-229,
+        with one deliberate fix: monotone acceptance — see the inline
+        comment).  ``joints`` is static: the per-joint loop is unrolled
+        over active joints only, which removes the lax.cond branches and
+        the wasted probes of inactive joints."""
         eval_batch = self._eval_fn(to_render)
         limits = self.joint_limits
         min_inc = self.min_ang_inc
@@ -390,18 +395,31 @@ class CandidateEvaluator:
                     lr = jnp.maximum(lr.at[j].set(lr_j), min_inc)
                     under = angles.at[j].add(-lr[j])
                     over = angles.at[j].add(lr[j])
-                    errs = eval_batch(jnp.stack([under, over]), w2c, target)
+                    # MONOTONE acceptance — deliberate non-parity with the
+                    # reference (predict.py:188-221), which always steps
+                    # toward the lower of the two probes even when BOTH are
+                    # worse than the incumbent.  On sharp minima (the wrist
+                    # joints' landscape: err rises 1000x within +-4 deg,
+                    # assets/eval_full_dof.py diagnostics) that walks the
+                    # state out of the true basin — a descent seeded AT the
+                    # truth drifted up to 17 deg in B.  Probing the
+                    # incumbent alongside under/over costs one extra row in
+                    # an already-batched eval.
+                    errs = eval_batch(
+                        jnp.stack([under, angles, over]), w2c, target
+                    )
                     inl_u = (under[j] >= limits[j, 0]) & (under[j] <= limits[j, 1])
                     inl_o = (over[j] >= limits[j, 0]) & (over[j] <= limits[j, 1])
                     err_u = jnp.where(inl_u, errs[0], jnp.inf)
-                    err_o = jnp.where(inl_o, errs[1], jnp.inf)
+                    err_c = errs[1]
+                    err_o = jnp.where(inl_o, errs[2], jnp.inf)
                     delta = jnp.where(
-                        err_o < err_u,
+                        (err_o < err_u) & (err_o < err_c),
                         lr[j],
-                        jnp.where(err_o > err_u, -lr[j], 0.0),
+                        jnp.where((err_u <= err_o) & (err_u < err_c), -lr[j], 0.0),
                     )
                     angles = angles.at[j].add(delta)
-                    last_min = jnp.minimum(err_o, err_u)
+                    last_min = jnp.minimum(jnp.minimum(err_o, err_u), err_c)
 
                 history2 = jnp.concatenate([angles[None], history[:-1]])
                 err_hist2 = jnp.concatenate([last_min[None], err_hist[:-1]])

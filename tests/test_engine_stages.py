@@ -161,3 +161,26 @@ def test_grid_sweep_finds_coupled_wrist(setup):
     assert abs(got[4] - wrist_pose[4]) <= res_b
     # S, L, U untouched.
     np.testing.assert_allclose(got[:3], start[:3], atol=1e-6)
+
+
+def test_descent_monotone_holds_truth(setup):
+    """A descent seeded AT the true pose must stay there.  The reference's
+    always-step rule (predict.py:188-221) walks out of sharp minima (both
+    probes worse -> still moves); monotone acceptance rejects such moves.
+    Regression for the round-5 wrist-drift finding (descent-from-truth
+    drifted up to 17 deg in B before the fix)."""
+    import jax.numpy as jnp
+
+    from ropes3d_tpu.prediction.engine import SearchState
+    from ropes3d_tpu.prediction.stages import Descent
+
+    engine, target, true_pose = setup
+    for jacobi in (False, True):
+        state = SearchState.fresh()._replace(angles=jnp.asarray(true_pose))
+        out = engine.descent(
+            state, target, Descent(6, 20, "SLU", early_stop_thresh=0.0),
+            jacobi=jacobi,
+        )
+        drift = np.abs(np.asarray(out.angles) - true_pose)
+        min_inc = float(np.max(np.asarray(engine.min_ang_inc)))
+        assert drift.max() <= min_inc + 1e-6, (jacobi, drift)
