@@ -75,18 +75,24 @@ bad = np.where(errs.max(axis=1) > 2.0)[0]
 print(f"  frames with max err > 2 deg: {len(bad)}/{len(errs)} -> "
       + " ".join(f"{i}:{errs[i].max():.0f}" for i in bad))
 if np.isfinite(confs).any():
-    # Confidence-vs-error separation: does the best-vs-runner-up margin
-    # flag the bad frames?  Report median confidence of good vs bad
-    # frames and the bad-frame recall at the 10%-margin reject threshold.
+    # Evidence-based confidence gate (Predictor.last_confidence =
+    # min(cover, area/A_ref), calibrated threshold CONF_ACCEPT): report
+    # separation plus the accepted-set error stats a rejecting caller
+    # actually experiences.
     np.save("/tmp/clut_confs.npy", confs)
     good = np.setdiff1d(np.arange(len(errs)), bad)
-    thr = 0.10
+    thr = Predictor.CONF_ACCEPT
     flagged = np.where(confs < thr)[0]
     caught = np.intersect1d(flagged, bad)
+    acc = np.setdiff1d(np.arange(len(errs)), flagged)
     print(f"  confidence: median good {np.nanmedian(confs[good]):.2f}, "
           f"median bad {np.nanmedian(confs[bad]) if len(bad) else float('nan'):.2f}; "
           f"reject@<{thr:.2f} flags {len(flagged)}/{len(errs)} frames, "
           f"catches {len(caught)}/{len(bad)} bad")
+    if len(acc):
+        ae = errs[acc]
+        print(f"  accepted {len(acc)}/{len(errs)}: median {np.median(ae):.3f} deg, "
+              f"p90 {np.percentile(ae, 90):.3f}, max {ae.max():.2f}")
 seg_t = []
 from ropes3d_tpu.ops.image import downsample
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import numpy as np
 
 
 def run(dataset: str, angs: str = "SLU", ds_factor: int = 8,
-        chunk: int = 200, plot: bool = True, limit: int = None,
+        chunk: int = 120, plot: bool = True, limit: int = None,
         model_ds: str = None, synthetic: bool = False) -> np.ndarray:
     """``synthetic`` uses the exact-render-color mask path (color_dict)
     instead of the segmentation network — for datasets captured with the
@@ -78,13 +78,18 @@ def main():
     p.add_argument("-no_plot", action="store_true")
     p.add_argument("-model_ds", default=None, help="Model dataset criterion")
     p.add_argument(
+        "-chunk", type=int, default=120,
+        help="Frames per vmapped prediction chunk (HBM-bound: each chunk "
+        "frame carries its staged top-k hypothesis batch)",
+    )
+    p.add_argument(
         "-synthetic", action="store_true",
         help="Exact-render-color masks instead of the segmentation net",
     )
     a = p.parse_args()
     run(
-        a.dataset, a.angs, a.ds_factor, plot=not a.no_plot, limit=a.limit,
-        model_ds=a.model_ds, synthetic=a.synthetic,
+        a.dataset, a.angs, a.ds_factor, chunk=a.chunk, plot=not a.no_plot,
+        limit=a.limit, model_ds=a.model_ds, synthetic=a.synthetic,
     )
 
 

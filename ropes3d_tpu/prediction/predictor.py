@@ -443,14 +443,16 @@ class Predictor:
 
     def _stash_hypotheses(self, out):
         """Fused-lane post-dispatch bookkeeping: when the survivor re-rank
-        is active the program returns (best, hypotheses[m,6], errors[m])
-        sorted best-first — keep the extras as *device* arrays (pulling
-        them eagerly would add a ~30 ms tunnel read per frame) and return
-        just the best angles for the normal path."""
+        is active the program returns (best, hypotheses[m,6], errors[m],
+        evidence[14]) sorted best-first — keep the extras as *device*
+        arrays (pulling them eagerly would add a ~30 ms tunnel read per
+        frame) and return just the best angles for the normal path."""
         if isinstance(out, tuple):
-            _, self._last_hyp_dev, self._last_err_dev = out
+            _, self._last_hyp_dev, self._last_err_dev = out[:3]
+            self._last_evid_dev = out[3] if len(out) > 3 else None
             return out[0]
         self._last_hyp_dev = self._last_err_dev = None
+        self._last_evid_dev = None
         return out
 
     @property
@@ -470,16 +472,75 @@ class Predictor:
         return None if e is None else np.asarray(e, dtype=float)
 
     @property
-    def last_confidence(self) -> Optional[float]:
+    def last_margin(self) -> Optional[float]:
         """Best-vs-runner-up relative error margin of the most recent
-        fused-lane frame: ``(e1 - e0) / e0``.  Near 0 means two basins
-        measured alike (genuinely ambiguous occlusion — round-4
-        diag_misrank2's irreducible class); large means the winner was
-        clear.  None when the re-rank was not active."""
+        fused-lane frame: ``(e1 - e0) / e0``.  Measured on the round-5
+        cluttered harness this is ~0 on good and bad frames alike (the
+        two survivors usually descend into the SAME basin), so it is NOT
+        the confidence signal — see :attr:`last_confidence`."""
         e = self.last_errors
         if e is None or len(e) < 2:
             return None
         return float((e[1] - e[0]) / max(float(e[0]), 1e-9))
+
+    @property
+    def last_evidence(self) -> Optional[dict]:
+        """Evidence-quality stats of the most recent fused-lane frame
+        (robust lanes with the survivor re-rank only — None otherwise):
+        ``areas`` [6] observed per-link mask pixels at working res,
+        ``expl`` [6] fraction of each link's observed pixels covered by
+        that link in the predicted pose's render, ``cover`` observed
+        silhouette / predicted silhouette, ``area`` union pixels."""
+        v = getattr(self, "_last_evid_dev", None)
+        if v is None:
+            return None
+        v = np.asarray(v, dtype=float)
+        return {
+            "areas": v[:6],
+            "expl": v[6:12],
+            "cover": float(v[12]),
+            "area": float(v[13]),
+        }
+
+    # Confidence gate calibrated on the 40-frame cluttered harness
+    # (assets/diag_conf3.py + BENCHMARKS.md round 5): every catastrophic
+    # frame is an EVIDENCE-QUANTITY failure — the observed robot
+    # silhouette is far smaller than the robot should appear — while
+    # geometric-consistency signals (per-link explained fractions) do NOT
+    # separate, because on evidence-starved frames the search fits the
+    # wrong pose *to* the sparse masks.  At the calibrated 0.70 threshold
+    # the gate caught 10/10 frames with error > 2 deg (6 false flags /
+    # 30 good); accepted frames measured median 0.25 deg, max 1.29 deg.
+    CONF_ACCEPT = 0.70
+
+    @property
+    def last_confidence(self) -> Optional[float]:
+        """Per-frame confidence of the most recent fused-lane frame:
+        ``min(cover, area / A_ref)`` where ``cover`` is observed
+        silhouette over predicted silhouette and ``A_ref`` is the robot's
+        zero-pose silhouette area at the working resolution (both ratios,
+        so the scalar is resolution-independent).  ~1 when the robot is
+        fully observed; below :attr:`CONF_ACCEPT` the frame carried too
+        little evidence to trust (heavy occlusion or segmentation
+        failure) and the caller should reject it or fall back to
+        :attr:`last_hypotheses`.  None when the survivor re-rank was not
+        active."""
+        ev = self.last_evidence
+        if ev is None:
+            return None
+        return min(float(ev["cover"]), ev["area"] / self._conf_area_ref())
+
+    def _conf_area_ref(self) -> float:
+        """Zero-pose silhouette area at the working resolution (lazy, one
+        1-candidate render, cached per camera/intrinsics)."""
+        a = getattr(self, "_conf_aref", None)
+        if a is None:
+            depth_r, _ = self.engine._render_fn(6)(
+                jnp.zeros((1, 6), jnp.float32), self.engine._w2c
+            )
+            a = float(max(float(np.asarray(depth_r[0] > 0).sum()), 1.0))
+            self._conf_aref = a
+        return a
 
     def _fused_run(self, prep, topk: int, fine: bool = False):
         """jit (prep -> recipe [-> fine polish]) into ONE program for the
@@ -516,6 +577,34 @@ class Predictor:
         eval_fine = (
             self.engine._eval_fn(6, self.fine_scale) if rerank else None
         )
+        render1 = self.engine._render_fn(6) if rerank else None
+
+        def evidence(best, bundle):
+            """Per-frame evidence-quality vector [14], computed at the
+            working resolution in the SAME dispatch (one extra 1-candidate
+            render): per-link observed mask areas [6], per-link explained
+            fractions [6] (observed pixels the predicted pose's own link
+            covers), union cover (observed silhouette / predicted
+            silhouette), union area.  The round-5 cluttered failure study
+            (assets/diag_conf*.py) showed every catastrophic frame is an
+            EVIDENCE failure — heavy occlusion or segmenter misses — not
+            an ambiguous ranking: the fine-error margin between survivors
+            is ~0 on good and bad frames alike, while these evidence
+            stats separate them."""
+            depth_r, lid_r = render1(best[None], w2c)
+            lid0, sil = lid_r[0], depth_r[0] > 0
+            bmasks = bundle.masks
+            areas = bmasks.sum((1, 2)).astype(jnp.float32)
+            match = jnp.stack(
+                [jnp.sum(bmasks[l] & (lid0 == l)) for l in range(6)]
+            ).astype(jnp.float32)
+            expl = match / jnp.maximum(areas, 1.0)
+            union = bmasks.any(0)
+            cover = union.sum() / jnp.maximum(sil.sum(), 1.0)
+            return jnp.concatenate(
+                [areas, expl,
+                 jnp.stack([cover, union.sum().astype(jnp.float32)])]
+            )
 
         @jax.jit
         def run1(a_full, b_full, lookup_depth, lookup_angles):
@@ -531,12 +620,14 @@ class Predictor:
                         angs, w2c, res[2]
                     )
                     errs = eval_fine(polished, w2c, res[2])
-                    # Sorted hypotheses + errors ride along so callers get
-                    # a per-frame confidence (best-vs-runner-up margin) and
-                    # the alternative basins — ambiguous occlusions are a
+                    # Sorted hypotheses + errors + evidence stats ride
+                    # along so callers get a per-frame confidence and the
+                    # alternative basins — evidence-starved frames are a
                     # *detectable* failure mode, not a silent one.
                     order = jnp.argsort(errs)
-                    out = (polished[order[0]], polished[order], errs[order])
+                    best = polished[order[0]]
+                    out = (best, polished[order], errs[order],
+                           evidence(best, bundle))
                 else:
                     out = fine_fn(out[:6], w2c, res[2])
             return out

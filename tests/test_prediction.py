@@ -273,12 +273,14 @@ def test_fused_programs_trace(synth):
 
             runr = p._fused_run(prep3, topk=4, fine=True)
             out = jax.eval_shape(runr, a, b, p.lookup_depth, p.lookup_angles)
-            # Re-rank lanes return (best, hypotheses[m,6], errors[m]) —
-            # sorted best-first — so callers get confidence + alternatives.
-            best, hyp, errs = out
+            # Re-rank lanes return (best, hypotheses[m,6], errors[m],
+            # evidence[14]) — sorted best-first — so callers get the
+            # evidence-based confidence + alternative basins.
+            best, hyp, errs, evid = out
             assert best.shape == (6,)
             assert hyp.shape[1:] == (6,)
             assert errs.shape == (hyp.shape[0],)
+            assert evid.shape == (14,)
         finally:
             p.robust_tau = old_tau
 
