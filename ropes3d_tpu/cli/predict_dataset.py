@@ -16,10 +16,18 @@ import numpy as np
 
 def run(dataset: str, angs: str = "SLU", ds_factor: int = 8,
         chunk: int = 120, plot: bool = True, limit: int = None,
-        model_ds: str = None, synthetic: bool = False) -> np.ndarray:
+        model_ds: str = None, synthetic: bool = False,
+        parity: bool = False) -> np.ndarray:
     """``synthetic`` uses the exact-render-color mask path (color_dict)
     instead of the segmentation network — for datasets captured with the
-    renderer's 'seg' palette (reference predict.py:91,445-469 branch)."""
+    renderer's 'seg' palette (reference predict.py:91,445-469 branch).
+
+    Default is the ROBUST stack (occlusion-aware error + NMS top-k seeds
+    + fine survivor re-rank) even for synthetic masks: the working-res
+    parity objective can keep a mirror basin the 2x re-rank separates
+    (synth240 frame 62, BENCHMARKS.md round 5).  ``parity`` restores the
+    reference-shaped objective/selection."""
+    from ..config import ERROR_ROBUST_TAU
     from ..data.dataset import Dataset
     from ..prediction.analysis import Grapher
     from ..prediction.predictor import Predictor
@@ -39,6 +47,7 @@ def run(dataset: str, angs: str = "SLU", ds_factor: int = 8,
         base_intrin=ds.attrs["color_intrinsics"],
         model_ds=model_ds or dataset,
         color_dict=color_dict,
+        **({} if parity else {"robust_tau": ERROR_ROBUST_TAU}),
     )
     n = min(len(ds), limit) if limit else len(ds)
     out = np.zeros((n, 6))
@@ -86,10 +95,15 @@ def main():
         "-synthetic", action="store_true",
         help="Exact-render-color masks instead of the segmentation net",
     )
+    p.add_argument(
+        "-parity", action="store_true",
+        help="Reference-shaped objective/selection (no robust stack)",
+    )
     a = p.parse_args()
     run(
         a.dataset, a.angs, a.ds_factor, chunk=a.chunk, plot=not a.no_plot,
         limit=a.limit, model_ds=a.model_ds, synthetic=a.synthetic,
+        parity=a.parity,
     )
 
 

@@ -127,7 +127,12 @@ MODEL_NAME_LENGTH = 4
 # outputs cast back to float32).  Defaults follow the measured
 # IoU-vs-latency curve in BENCHMARKS.md (assets/eval_seg_latency.py).
 SEG_INFER_HW = None
-SEG_INFER_BF16 = False
+# Round-5 measured curve (bootv3, 20 shared cluttered frames, frame-space
+# IoU@GT>=100px): bf16 is accuracy-free (0.558 vs 0.558 fp32) while
+# cutting detector latency ~1.5x; resolution cuts are NOT free (448:
+# -0.045 IoU, 384: -0.165) — so bf16 is the default and the input size
+# stays at each model's trained resolution.
+SEG_INFER_BF16 = True
 
 # ---------------------------------------------------------------- Wizard
 WIZARD_DATASET_PREVIEW = True

@@ -1007,10 +1007,11 @@ class CandidateEvaluator:
 
     @functools.lru_cache(maxsize=16)
     def _recipe_jit(self, key, topk, jacobi, batched, history_length,
-                    final_render: int = 6, seeded: bool = False):
+                    final_render: int = 6, seeded: bool = False,
+                    return_k: bool = False):
         return jax.jit(
             self._recipe_fn(key, topk, jacobi, batched, history_length,
-                            final_render, seeded)
+                            final_render, seeded, return_k)
         )
 
     @functools.lru_cache(maxsize=16)
@@ -1039,17 +1040,18 @@ class CandidateEvaluator:
         hypothesis.  ``batched`` vmaps the whole recipe over a leading frame
         axis (the workload's data-parallel axis, SURVEY.md §2.9).
 
-        ``return_k`` (single-frame topk recipes only) returns the final_m
-        survivor hypotheses as ``(angles [m, 6], errors [m])`` instead of
-        selecting a winner — the caller re-ranks them at a higher-fidelity
-        objective (the predictor's fine-resolution re-rank; the working-res
-        errors of wrong-basin survivors measure within ~2-4%% of the truth
-        basin on cluttered frames, assets/diag_misrank2.py).
+        ``return_k`` (topk recipes) returns the final_m survivor
+        hypotheses as ``(angles [m, 6], errors [m])`` — batched:
+        ``([F, m, 6], [F, m])`` — instead of selecting a winner: the
+        caller re-ranks them at a higher-fidelity objective (the
+        predictor's fine-resolution re-rank; the working-res errors of
+        wrong-basin survivors measure within ~2-4%% of the truth basin on
+        cluttered frames, assets/diag_misrank2.py, and the synth240
+        wrong-basin frame ranks the truth seed 3rd yet loses the
+        working-res selection — BENCHMARKS.md round 5).
         """
         if return_k:
-            assert not batched and topk > 1, (
-                "return_k: single-frame topk recipes only"
-            )
+            assert topk > 1, "return_k requires a topk recipe"
         lookup_pos = next(
             (i for i, sk in enumerate(key) if sk[0] == "lookup"), None
         )
@@ -1179,6 +1181,10 @@ class CandidateEvaluator:
             if batched:
                 if topk > 1:
                     def seeded_frame(w2c, cam_pose, target, seed_k):
+                        if return_k:
+                            return topk_survivors(
+                                seed_k, w2c, target, cam_pose
+                            )
                         best, _ = topk_post(seed_k, w2c, target, cam_pose)
                         return best
 
@@ -1229,6 +1235,10 @@ class CandidateEvaluator:
                     )
                     if topk > 1:
                         def per_frame(seed_k, tgt):
+                            if return_k:
+                                return topk_survivors(
+                                    seed_k, w2c, tgt, cam_pose
+                                )
                             best, _ = topk_post(seed_k, w2c, tgt, cam_pose)
                             return best
 
@@ -1256,8 +1266,11 @@ class CandidateEvaluator:
         jacobi: bool = False,
         batched: bool = False,
         history_length: int = 5,
+        return_k: bool = False,
     ) -> jnp.ndarray:
-        """Run a whole stage recipe as one fused device dispatch -> angles.
+        """Run a whole stage recipe as one fused device dispatch -> angles
+        (or, with ``return_k``, the final_m survivor hypotheses + errors —
+        see :meth:`_recipe_fn`).
 
         When the lookup stack is sharded across devices, the lookup argmin
         runs as its own (collective-bearing) dispatch and the rest of the
@@ -1293,7 +1306,8 @@ class CandidateEvaluator:
             # stays off the lookup mesh entirely.
             seeds = jnp.asarray(np.asarray(seeds), jnp.float32)
             f = self._recipe_jit(
-                key, topk, jacobi, batched, history_length, seeded=True
+                key, topk, jacobi, batched, history_length, seeded=True,
+                return_k=return_k,
             )
             return f(
                 self._w2c,
@@ -1301,7 +1315,8 @@ class CandidateEvaluator:
                 target,
                 seeds,
             )
-        f = self._recipe_jit(key, topk, jacobi, batched, history_length)
+        f = self._recipe_jit(key, topk, jacobi, batched, history_length,
+                             return_k=return_k)
         return f(
             self._w2c,
             jnp.asarray(self.camera_pose, jnp.float32),

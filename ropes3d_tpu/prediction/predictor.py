@@ -593,7 +593,13 @@ class Predictor:
             stats separate them."""
             depth_r, lid_r = render1(best[None], w2c)
             lid0, sil = lid_r[0], depth_r[0] > 0
-            bmasks = bundle.masks
+            # The synthetic prep reproduces the reference's color-equality
+            # quirk (base blue 0 == background, _synth_prep_core), so the
+            # base-link mask can swallow the whole background — gate it by
+            # observed depth so evidence counts robot pixels only.
+            bmasks = bundle.masks.at[0].set(
+                bundle.masks[0] & (bundle.depth > 0)
+            )
             areas = bmasks.sum((1, 2)).astype(jnp.float32)
             match = jnp.stack(
                 [jnp.sum(bmasks[l] & (lid0 == l)) for l in range(6)]
@@ -1136,8 +1142,22 @@ class Predictor:
                 self._run_stages_stepwise(batch)
             )
         jacobi = self.search_mode == "fast"
+        # Frame-batched robust lanes re-rank the final_m survivors at the
+        # fine resolution, exactly like the single-frame fused lanes: the
+        # working-resolution objective can prefer a mirror basin the
+        # 2x-resolution objective separates cleanly (the synth240
+        # wrong-basin frame ranks its truth seed 3rd of 10648 yet loses
+        # the working-res selection by a hair — and recovers to 0.27 deg
+        # under the fine re-rank; BENCHMARKS.md round 5).
+        rerank_batch = (
+            batch is not None
+            and self.lookup_topk > 1
+            and self.robust_tau is not None
+            and bool(self.fine_scale)
+            and self._fine_target is not None
+        )
         with self.timer.stage("stages_fused"):
-            angles = self.engine.run_recipe(
+            out = self.engine.run_recipe(
                 self.stages,
                 self._target,
                 self._tgt_lookup_crop,
@@ -1147,8 +1167,30 @@ class Predictor:
                 jacobi=jacobi,
                 batched=batch is not None,
                 history_length=self.history_length,
+                return_k=rerank_batch,
             )
-        return self._apply_fine_polish_host(np.asarray(angles, dtype=float))
+        if rerank_batch:
+            survivors, _ = out  # [F, m, 6] (working-res errors unused)
+            if not hasattr(self, "_batch_rerank_jit"):
+                fine_fn = self._fine_polish_core()
+                eval_fine = self.engine._eval_fn(6, self.fine_scale)
+
+                def rr(angs, w2c, ftgt):
+                    pol = jax.vmap(fine_fn, in_axes=(0, None, None))(
+                        angs, w2c, ftgt
+                    )
+                    errs = eval_fine(pol, w2c, ftgt)
+                    return pol[jnp.argmin(errs)]
+
+                self._batch_rerank_jit = jax.jit(
+                    jax.vmap(rr, in_axes=(0, None, 0))
+                )
+            with self.timer.stage("fine_rerank"):
+                angles = self._batch_rerank_jit(
+                    survivors, self.engine._w2c, self._fine_target
+                )
+            return np.asarray(angles, dtype=float)
+        return self._apply_fine_polish_host(np.asarray(out, dtype=float))
 
     def _run_stages_stepwise(self, batch: Optional[int] = None) -> np.ndarray:
         """Per-stage dispatch loop (preview/debug path; also the reference
