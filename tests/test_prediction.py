@@ -295,6 +295,26 @@ def test_fused_programs_trace(synth):
     assert crop.shape[0] == F
     assert bundle.masks.shape[0] == F
 
+    # Batched staged-top-k with return_k (the frame-parallel fine
+    # re-rank path, predictor._run_stages rerank_batch): survivors come
+    # back [F, m, 6] with working-res errors [F, m].
+    from ropes3d_tpu.prediction.engine import _stage_key
+    from ropes3d_tpu.config import TOPK_FINAL as _TF
+
+    p._setStages()
+    recipe_b = p.engine._recipe_fn(
+        _stage_key(p.stages), 4, False, True, p.history_length,
+        return_k=True,
+    )
+    w2c_s = jax.ShapeDtypeStruct((4, 4), jnp.float32)
+    cam_s = jax.ShapeDtypeStruct((6,), jnp.float32)
+    angs_s, errs_s = jax.eval_shape(
+        recipe_b, w2c_s, cam_s, res[0], res[1],
+        p.lookup_depth, p.lookup_angles,
+    )
+    assert angs_s.shape == (F, _TF, 6)
+    assert errs_s.shape == (F, _TF)
+
 
 @pytest.mark.slow
 def test_fused_recipe_matches_stepwise(synth, monkeypatch):
