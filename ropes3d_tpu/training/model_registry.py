@@ -182,6 +182,15 @@ class ModelManager(ModelInfo):
 
         if not cands:
             return None
+        # A model an A/B benchmark has measured as WORSE than a specific
+        # alternative carries ``superseded_by: <winner-id>`` in its
+        # ModelData — newest-first recency must not silently override a
+        # published measurement (round-4 verdict: bootv3 became default
+        # purely by timestamp).  Explicit criteria (id=...) still load it.
+        if "id" not in criteria:
+            live = {n: m for n, m in cands.items()
+                    if not m.get("superseded_by")}
+            cands = live or cands
         # Most recent wins ties.
         name = max(cands, key=lambda n: cands[n].get("date", ""))
         return self.loadByID(name)

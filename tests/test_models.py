@@ -145,6 +145,18 @@ def test_model_registry(tmp_path, monkeypatch):
     assert mm.dynamicLoad(dataset="setA", above_train_size=200).endswith("ckpt_0005")
     assert mm.dynamicLoad(dataset="setC") is None
 
+    # A measured A/B loser (superseded_by) must not win default selection
+    # by recency — but explicit id= still loads it.
+    import json
+    newest = mm.dynamicLoad(dataset="setA")
+    assert newest.endswith("ckpt_0005")  # d2 is newer
+    md_path = os.path.join(d2, "ModelData.json")
+    md = json.load(open(md_path))
+    md["superseded_by"] = os.path.basename(d1)
+    json.dump(md, open(md_path, "w"))
+    assert mm.dynamicLoad(dataset="setA").endswith("ckpt_0002")  # d1 wins
+    assert mm.dynamicLoad(id=md["id"]).endswith("ckpt_0005")  # explicit
+
 
 def test_model_tree(tmp_path, monkeypatch):
     import os
